@@ -1,38 +1,643 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline — documents wrapped into
+Common-Crawl-style pages, golden extraction + feature kernel + broadcast-RF
+scoring in one Arrow batch, per-host summary aggregation (the reference's
+predict_single_book.py report query, SURVEY.md §3.3).
+
+``queries()``/``oracle_sql()`` cover the operator inventory of SURVEY.md §2
+over the testdata star schema; every SQL-expressible operator carries a
+DuckDB oracle with identically-aliased columns.  Pipeline operators that
+run the Python extraction kernel are rows-only (no SQL equivalent).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
 
+from gujarati_readability_pagewise_spark.sources.catalog import (
+    load_table,
+    pages_from_documents,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _r(c, n=4):
+    return F.round(c, n)
+
+
+# --------------------------------------------------------------------------
+# entry: flagship pipeline on sf0.001
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages → extract+score (one Arrow batch) → host summary."""
+    from gujarati_readability_pagewise_spark.ml.train import default_model
+    from gujarati_readability_pagewise_spark.operators.aggregate import host_summary
+    from gujarati_readability_pagewise_spark.operators.udfs import (
+        with_extraction_and_score,
+    )
 
+    pages = pages_from_documents(spark, SF_SMOKE)
+    scored = with_extraction_and_score(pages, default_model())
+    return host_summary(scored, label_col=None).orderBy("host")
+
+
+# --------------------------------------------------------------------------
+# operator queries (spark side)
+# --------------------------------------------------------------------------
+
+def q_a1_class_distribution(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return emb.groupBy("label").agg(F.count("*").alias("n")).orderBy("label")
+
+
+def q_a2_host_summary(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("total_docs"),
+            _r(F.avg("n_chars")).alias("avg_chars"),
+            _r(F.stddev_samp("n_chars")).alias("std_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_a3_group_decision(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.when(F.avg("n_chars") > 250, F.lit(1)).otherwise(F.lit(0)).alias(
+                "group_flag"
+            )
+        )
+        .orderBy("source")
+    )
+
+
+def q_a4_confusion_matrix(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return (
+        emb.withColumn("pred", F.pmod(F.col("vec_id"), F.lit(3)).cast("int"))
+        .groupBy(F.col("label").alias("true_label"), "pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("true_label", "pred")
+    )
+
+
+def q_a5_eval_metrics(spark, sf):
+    ev = load_table(spark, sf, "events")
+    lab = F.when(F.col("value") > 10, 0).otherwise(1)
+    pred = F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, 0).otherwise(1)
+    d = ev.select(lab.alias("lab"), pred.alias("pred"))
+    agg = d.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when((F.col("lab") == 0) & (F.col("pred") == 0), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("lab") == 1) & (F.col("pred") == 0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("lab") == 0) & (F.col("pred") == 1), 1).otherwise(0)).alias("fn"),
+    )
+    return agg.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        _r(F.col("tp") / (F.col("tp") + F.col("fp"))).alias("precision_pos0"),
+        _r(F.col("tp") / (F.col("tp") + F.col("fn"))).alias("recall_pos0"),
+    )
+
+
+def q_a6_group_stats(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            _r(F.avg("l_quantity")).alias("avg_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            _r(F.expr("percentile(l_quantity, 0.5)")).alias("median_qty"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+def q_a7_two_level_rollup(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    ords = load_table(spark, sf, "orders")
+    # Fixed-point (×10⁴) inner average: one float division + floor is
+    # bit-identical across engines; the outer average then sums exact
+    # integers, so the rollup matches the DuckDB oracle exactly.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.floor(
+            (F.sum(F.col("l_quantity").cast("long")) * 10000).cast("double")
+            / F.count("*")
+        )
+        .cast("long")
+        .alias("o_avg_qty_fp")
+    )
+    return (
+        per_order.join(ords, per_order.l_orderkey == ords.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            (
+                F.floor(F.sum("o_avg_qty_fp").cast("double") / F.count("*")).cast("long")
+                / 10000.0
+            ).alias("cust_avg_qty"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def q_j1_semi_join(spark, sf):
+    cust = load_table(spark, sf, "customer")
+    ords = load_table(spark, sf, "orders")
+    return (
+        cust.join(ords, cust.c_custkey == ords.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def q_j2_left_join(spark, sf):
+    cust = load_table(spark, sf, "customer")
+    ords = load_table(spark, sf, "orders")
+    return (
+        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q_j5_anti_join(spark, sf):
+    cust = load_table(spark, sf, "customer")
+    ords = load_table(spark, sf, "orders")
+    return (
+        cust.join(ords, cust.c_custkey == ords.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_w1_latest_per_group(spark, sf):
+    ev = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("user_id")
+    )
+
+
+def q_w2_topk(spark, sf):
+    ords = load_table(spark, sf, "orders")
+    return (
+        ords.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(5)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_w4_running_sum(spark, sf):
+    ev = load_table(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            _r(F.sum("value").over(w), 2).alias("running_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q_o1_multi_sort(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "user_id")
+    )
+
+
+def q_o3_sorted_distinct(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select("source").distinct().orderBy("source")
+
+
+def q_u2_count_distinct(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_u1_split_counts(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    split = F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0, "test").otherwise("train")
+    return (
+        docs.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split")
+    )
+
+
+def q_f1_host_extract(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit(".html"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_extract(url, r"https://([^/]+)/", 1).alias("host"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_f2_rating_parse(spark, sf):
+    part = load_table(spark, sf, "part")
+    rating = F.concat(F.col("p_size").cast("string"), F.lit("/5 (Good)"))
+    return (
+        part.select(
+            "p_partkey",
+            F.regexp_extract(rating, r"(\d+(?:\.\d+)?)/5", 1)
+            .cast("double")
+            .alias("rating"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def q_tpch_q1(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _r(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            _r(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            _r(F.avg("l_quantity")).alias("avg_qty"),
+            _r(F.avg("l_extendedprice")).alias("avg_price"),
+            _r(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_dedup_exact(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("text_hash")
+    )
+
+
+def q_text_token_count(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+            F.length("text").alias("n_chars_actual"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_text_quality(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[^.!?,;:]", ""))
+    n_digit = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    n_space = F.length(F.regexp_replace(F.col("text"), r"[^ ]", ""))
+    return (
+        docs.select(
+            "doc_id",
+            _r(n_punct / n_chars).alias("punct_ratio"),
+            _r(n_digit / n_chars).alias("digit_ratio"),
+            _r(n_space / n_chars).alias("space_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_lang_distribution(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy("lang").agg(F.count("*").alias("n")).orderBy("lang")
+
+
+def q_similarity_topk(spark, sf):
+    """Brute-force cosine top-3 neighbours for the first 5 vectors (ANN
+    baseline; LSH-bucketed variant is the scale path in operators/similarity)."""
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    dot = F.aggregate(
+        F.zip_with("q_emb", "c_emb", lambda a, b: a * b),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(
+        F.aggregate(col, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+    pairs = (
+        q.crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (dot / (norm(F.col("q_emb")) * norm(F.col("c_emb")))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "c_id", _r(F.col("cos")).alias("cos_sim"), "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+# -- pipeline operators (Python kernels — rows-only checks) -----------------
+
+def q_pipeline_extract(spark, sf):
+    from gujarati_readability_pagewise_spark.operators.udfs import with_extraction
+
+    pages = pages_from_documents(spark, sf)
+    ext = with_extraction(pages)
+    return ext.select("url", "extract_status", F.length("text").alias("n_text_chars")).orderBy(
+        "url"
+    )
+
+
+def q_pipeline_score_summary(spark, sf):
+    from gujarati_readability_pagewise_spark.ml.train import default_model
+    from gujarati_readability_pagewise_spark.operators.aggregate import host_summary
+    from gujarati_readability_pagewise_spark.operators.udfs import (
+        with_extraction_and_score,
+    )
+
+    pages = pages_from_documents(spark, sf)
+    scored = with_extraction_and_score(pages, default_model())
+    return host_summary(scored, label_col=None).orderBy("host")
+
+
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "a1_class_distribution": q_a1_class_distribution,
+        "a2_host_summary": q_a2_host_summary,
+        "a3_group_decision": q_a3_group_decision,
+        "a4_confusion_matrix": q_a4_confusion_matrix,
+        "a5_eval_metrics": q_a5_eval_metrics,
+        "a6_group_stats": q_a6_group_stats,
+        "a7_two_level_rollup": q_a7_two_level_rollup,
+        "j1_semi_join": q_j1_semi_join,
+        "j2_left_join": q_j2_left_join,
+        "j5_anti_join": q_j5_anti_join,
+        "w1_latest_per_group": q_w1_latest_per_group,
+        "w2_topk": q_w2_topk,
+        "w4_running_sum": q_w4_running_sum,
+        "o1_multi_sort": q_o1_multi_sort,
+        "o3_sorted_distinct": q_o3_sorted_distinct,
+        "u1_split_counts": q_u1_split_counts,
+        "u2_count_distinct": q_u2_count_distinct,
+        "f1_host_extract": q_f1_host_extract,
+        "f2_rating_parse": q_f2_rating_parse,
+        "tpch_q1": q_tpch_q1,
+        "dedup_exact": q_dedup_exact,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "lang_distribution": q_lang_distribution,
+        "similarity_topk": q_similarity_topk,
+        "pipeline_extract": q_pipeline_extract,
+        "pipeline_score_summary": q_pipeline_score_summary,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "a1_class_distribution": (
+            "SELECT label, count(*) AS n FROM embeddings GROUP BY label ORDER BY label"
+        ),
+        "a2_host_summary": """
+            SELECT source,
+                   count(*) AS total_docs,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   round(stddev_samp(n_chars), 4) AS std_chars,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "a3_group_decision": """
+            SELECT source,
+                   CASE WHEN avg(n_chars) > 250 THEN 1 ELSE 0 END AS group_flag
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "a4_confusion_matrix": """
+            SELECT label AS true_label,
+                   CAST(vec_id % 3 AS INT) AS pred,
+                   count(*) AS n
+            FROM embeddings GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "a5_eval_metrics": """
+            WITH d AS (
+              SELECT CASE WHEN value > 10 THEN 0 ELSE 1 END AS lab,
+                     CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS pred
+              FROM events)
+            SELECT count(*) AS n,
+                   CAST(sum(CASE WHEN lab = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN lab = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(sum(CASE WHEN lab = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                   round(sum(CASE WHEN lab = 0 AND pred = 0 THEN 1 ELSE 0 END)::DOUBLE
+                     / nullif(sum(CASE WHEN pred = 0 THEN 1 ELSE 0 END), 0), 4) AS precision_pos0,
+                   round(sum(CASE WHEN lab = 0 AND pred = 0 THEN 1 ELSE 0 END)::DOUBLE
+                     / nullif(sum(CASE WHEN lab = 0 THEN 1 ELSE 0 END), 0), 4) AS recall_pos0
+            FROM d
+        """,
+        "a6_group_stats": """
+            SELECT l_orderkey,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+                   count(*) AS n_lines
+            FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+        """,
+        "a7_two_level_rollup": """
+            WITH per_order AS (
+              SELECT l_orderkey,
+                     CAST(floor(CAST(sum(CAST(l_quantity AS BIGINT)) * 10000 AS DOUBLE)
+                                / count(*)) AS BIGINT) AS o_avg_qty_fp
+              FROM lineitem GROUP BY l_orderkey)
+            SELECT o_custkey,
+                   CAST(floor(CAST(sum(o_avg_qty_fp) AS DOUBLE) / count(*)) AS BIGINT)
+                     / 10000.0 AS cust_avg_qty,
+                   count(*) AS n_orders
+            FROM per_order JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "j1_semi_join": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey
+        """,
+        "j2_left_join": """
+            SELECT o_orderkey, coalesce(c_mktsegment, 'UNKNOWN') AS segment
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey
+        """,
+        "j5_anti_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey
+        """,
+        "w1_latest_per_group": """
+            SELECT user_id, event_id, ts, event_type FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1 ORDER BY user_id
+        """,
+        "w2_topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5
+        """,
+        "w4_running_sum": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_value
+            FROM events ORDER BY user_id, event_id
+        """,
+        "o1_multi_sort": """
+            SELECT event_type, user_id, count(*) AS n
+            FROM events GROUP BY event_type, user_id ORDER BY event_type, user_id
+        """,
+        "o3_sorted_distinct": "SELECT DISTINCT source FROM documents ORDER BY source",
+        "u1_split_counts": """
+            SELECT CASE WHEN doc_id % 5 = 0 THEN 'test' ELSE 'train' END AS split,
+                   count(*) AS n
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "u2_count_distinct": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "f1_host_extract": """
+            SELECT doc_id,
+                   regexp_extract(
+                     'https://' || source || '.example.com/doc/' || doc_id || '.html',
+                     'https://([^/]+)/', 1) AS host
+            FROM documents ORDER BY doc_id
+        """,
+        "f2_rating_parse": r"""
+            SELECT p_partkey,
+                   CAST(regexp_extract(p_size || '/5 (Good)',
+                        '(\d+(?:\.\d+)?)/5', 1) AS DOUBLE) AS rating
+            FROM part ORDER BY p_partkey
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, count(*) AS n_copies,
+                   min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+            ORDER BY text_hash
+        """,
+        "text_token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+                   length(text) AS n_chars_actual
+            FROM documents ORDER BY doc_id
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+                         / length(text), 4) AS punct_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                         / length(text), 4) AS digit_ratio,
+                   round(length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE
+                         / length(text), 4) AS space_ratio
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_distribution": (
+            "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "similarity_topk": """
+            WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                       FROM embeddings WHERE vec_id < 5),
+                 pairs AS (
+              SELECT q.q_id, c.vec_id AS c_id,
+                     list_dot_product(q.q_emb, c.embedding)
+                       / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                          * sqrt(list_dot_product(c.embedding, c.embedding))) AS cos
+              FROM q CROSS JOIN embeddings c WHERE q.q_id <> c.vec_id),
+                 ranked AS (
+              SELECT q_id, c_id, cos,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, c_id ASC) AS rk
+              FROM pairs)
+            SELECT q_id, c_id, round(cos, 4) AS cos_sim, CAST(rk AS INT) AS rk
+            FROM ranked WHERE rk <= 3 ORDER BY q_id, rk
+        """,
+    }

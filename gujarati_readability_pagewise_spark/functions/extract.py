@@ -1,0 +1,187 @@
+"""Golden main-content extractor: HTML bytes -> (text, spans, status).
+
+This is THE oracle of the whole engine.  Every Spark path (the Arrow-batched
+``mapInPandas`` kernel in ``operators/udfs.py``) must emit text that is
+**byte-identical per url** to :func:`extract_text` run standalone on the same
+``html`` payload (BASELINE.json ``input_hint``).
+
+Design constraints (SURVEY.md §4.4, §7 "hard parts"):
+
+* **Pure function** of the input bytes.  No locale, no mtime, no dict-order
+  dependence, no third-party HTML parser whose heuristics drift across
+  versions.  The tokenizer below is a self-contained regex/state-machine.
+* **Deterministic unicode policy**: decode UTF-8 with ``errors='replace'``
+  (the replacement character is deterministic), then NFC-normalize.
+* **Boilerplate strip** follows the published Boilerpipe/jusText family of
+  DOM heuristics: segment the page into block-level text blocks, score each
+  block by word count and link density (share of words inside ``<a>``),
+  keep high-scoring blocks, then run one deterministic smoothing pass that
+  rescues short blocks adjacent to kept content.
+
+The reference analogue is the per-page payload decode + batched backbone
+featurizer (``/root/reference/scripts/extract_pagewise_features.py:49-69``
+decode w/ corrupt-payload fallback; ``:249-348`` batch feature extractor).
+There the payload is a scanned page image; here it is Common-Crawl-style
+HTML, per the graft's input_hint.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import NamedTuple
+
+__all__ = [
+    "ExtractResult",
+    "extract_text",
+    "extract_spans",
+    "STATUS_OK",
+    "STATUS_EMPTY",
+    "STATUS_ERROR",
+]
+
+STATUS_OK = "ok"
+STATUS_EMPTY = "empty"
+STATUS_ERROR = "error"
+
+# --- tokenizer ---------------------------------------------------------------
+
+# Tags whose entire content is never text (script/style/noscript/template/svg).
+_RE_DROP_CONTENT = re.compile(
+    r"<(script|style|noscript|template|svg|head)\b[^>]*>.*?</\1\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_RE_COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
+
+# Block-level boundaries: these tags split the page into candidate text blocks.
+_BLOCK_TAGS = (
+    "p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|table|tr|td|th|br|hr|section|article|"
+    "aside|nav|footer|header|main|blockquote|pre|figure|figcaption|form|"
+    "fieldset|dl|dt|dd|title|body|html"
+)
+_RE_BLOCK_SPLIT = re.compile(r"</?(?:%s)\b[^>]*>" % _BLOCK_TAGS, re.IGNORECASE)
+
+# Anchor spans (to measure link density) — non-greedy, no nesting support
+# needed: nested <a> is invalid HTML and the crawl templates never emit it.
+_RE_ANCHOR = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
+_RE_TAG = re.compile(r"<[^>]*>")
+_RE_WS = re.compile(r"[ \t\r\n\f\v ]+")
+
+# Fixed, closed entity table — never delegate to a library whose table grows.
+_ENTITIES = {
+    "&amp;": "&",
+    "&lt;": "<",
+    "&gt;": ">",
+    "&quot;": '"',
+    "&#39;": "'",
+    "&apos;": "'",
+    "&nbsp;": " ",
+}
+_RE_ENTITY = re.compile(r"&(?:#[0-9]{1,7}|#x[0-9a-fA-F]{1,6}|[a-zA-Z]{2,8});")
+
+
+def _decode_entity(m: re.Match) -> str:
+    e = m.group(0)
+    if e in _ENTITIES:
+        return _ENTITIES[e]
+    if e.startswith("&#"):
+        try:
+            cp = int(e[3:-1], 16) if e[2] in "xX" else int(e[2:-1])
+            if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+                return chr(cp)
+        except ValueError:
+            pass
+    return e  # unknown named entity: keep literal (deterministic)
+
+
+def _clean_text(raw: str) -> str:
+    """Strip residual tags, decode entities, collapse whitespace."""
+    s = _RE_TAG.sub(" ", raw)
+    s = _RE_ENTITY.sub(_decode_entity, s)
+    s = _RE_WS.sub(" ", s).strip()
+    return s
+
+
+class _Block(NamedTuple):
+    text: str
+    n_words: int
+    link_density: float
+
+
+# Boilerpipe-style thresholds (kept as module constants so tests can cite them)
+MIN_CONTENT_WORDS = 8      # a block this long with low link density is content
+MIN_RESCUE_WORDS = 3       # shorter blocks are rescued only next to content
+MAX_LINK_DENSITY = 1.0 / 3.0
+
+
+def _segment(html: str) -> list[_Block]:
+    html = _RE_COMMENT.sub(" ", html)
+    html = _RE_DROP_CONTENT.sub(" ", html)
+    blocks: list[_Block] = []
+    for raw in _RE_BLOCK_SPLIT.split(html):
+        if not raw or raw.isspace():
+            continue
+        # words inside anchors, before stripping tags from the whole block
+        link_words = 0
+        for m in _RE_ANCHOR.finditer(raw):
+            link_words += len(_clean_text(m.group(1)).split())
+        text = _clean_text(raw)
+        if not text:
+            continue
+        n_words = len(text.split())
+        ld = (link_words / n_words) if n_words else 1.0
+        blocks.append(_Block(text, n_words, min(ld, 1.0)))
+    return blocks
+
+
+def _classify(blocks: list[_Block]) -> list[bool]:
+    keep = [
+        b.n_words >= MIN_CONTENT_WORDS and b.link_density <= MAX_LINK_DENSITY
+        for b in blocks
+    ]
+    # one deterministic smoothing pass against the *first-pass* labels
+    rescued = list(keep)
+    for i, b in enumerate(blocks):
+        if keep[i] or b.n_words < MIN_RESCUE_WORDS or b.link_density > MAX_LINK_DENSITY:
+            continue
+        prev_ok = i > 0 and keep[i - 1]
+        next_ok = i + 1 < len(blocks) and keep[i + 1]
+        if prev_ok or next_ok:
+            rescued[i] = True
+    return rescued
+
+
+class ExtractResult(NamedTuple):
+    text: str
+    spans: list[str]      # kept blocks, in document order
+    status: str           # ok | empty | error
+
+
+def extract_text(html: bytes | None) -> ExtractResult:
+    """Extract main content from raw HTML bytes.  Pure and deterministic.
+
+    Corrupt-payload policy mirrors the reference's gray-placeholder fallback
+    (``extract_pagewise_features.py:66-69``): never raise — emit an empty
+    document with ``status='error'`` (undecodable junk) or ``'empty'``.
+    """
+    if html is None or len(html) == 0:
+        return ExtractResult("", [], STATUS_EMPTY)
+    try:
+        s = html.decode("utf-8")
+        status = STATUS_OK
+    except UnicodeDecodeError:
+        s = html.decode("utf-8", errors="replace")
+        status = STATUS_ERROR
+    s = unicodedata.normalize("NFC", s)
+    blocks = _segment(s)
+    keep = _classify(blocks)
+    spans = [b.text for b, k in zip(blocks, keep) if k]
+    if not spans:
+        return ExtractResult("", [], STATUS_EMPTY if status == STATUS_OK else status)
+    return ExtractResult("\n\n".join(spans), spans, status)
+
+
+def extract_spans(html: bytes | None) -> list[tuple[int, str]]:
+    """Ordered (order, text) span parse — the PDF/layout-page analogue."""
+    res = extract_text(html)
+    return list(enumerate(res.spans))

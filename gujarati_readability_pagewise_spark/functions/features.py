@@ -1,0 +1,145 @@
+"""Readability feature kernel: extracted text -> fixed-length float vector.
+
+The graft analogue of the reference's backbone embedding (image -> 384/1280-d
+vector, ``/root/reference/scripts/extract_pagewise_features.py:249-348``):
+page text in, fixed-order ``FEATURE_NAMES``-dimensional float64 vector out,
+computed for a whole Arrow batch at once (pandas ``.str`` ops — compiled
+regex executed in a C loop — never a per-row Spark UDF).
+
+Gujarati specifics:
+
+* **Akshara count** — orthographic syllables over the Gujarati block
+  U+0A80–U+0AFF, segmented by the standard Indic cluster grammar
+  (consonant + optional nukta, joined by virama U+0ACD, then optional
+  matras / vowel signs / modifiers), implemented as one precompiled regex.
+* **Sentence segmentation** — ``.`` ``!`` ``?`` ``…`` plus the dandas
+  U+0964/U+0965 used in Gujarati prose.
+* **Script purity** — share of letters that are Gujarati (quality signal:
+  boilerplate and mojibake pull this down).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["FEATURE_NAMES", "N_FEATURES", "compute_features", "compute_features_one"]
+
+# Fixed feature order — tests and the RF model pin against this list.
+FEATURE_NAMES = [
+    "n_chars",
+    "n_words",
+    "n_sentences",
+    "n_aksharas",
+    "type_token_ratio",
+    "punct_ratio",
+    "script_purity",
+    "digit_ratio",
+    "mean_word_len",
+    "mean_sentence_words",
+    "stopword_ratio",
+    "gujarati_char_ratio",
+]
+N_FEATURES = len(FEATURE_NAMES)
+
+# --- Gujarati akshara (orthographic syllable) grammar -----------------------
+_C = "[ક-હ]"          # consonants KA..HA
+_NUKTA = "઼?"
+_VIRAMA = "્"
+_MATRA = "[ા-ૌ]?"     # dependent vowel signs
+_MOD = "[ઁ-ઃૐ]*"  # candrabindu/anusvara/visarga, om
+_INDEP_V = "[અ-ઔ]"    # independent vowels
+# cluster = (C nukta (virama C nukta)* matra mods) | independent vowel + mods
+_AKSHARA = re.compile(
+    f"(?:{_C}{_NUKTA}(?:{_VIRAMA}{_C}{_NUKTA})*{_VIRAMA}?{_MATRA}{_MOD})"
+    f"|(?:{_INDEP_V}{_MOD})"
+)
+
+_SENT = re.compile(r"[.!?…।॥]+")
+_PUNCT = re.compile(r"[!-/:-@\[-`{-~।॥…“”‘’]")
+_DIGIT = re.compile(r"[0-9૦-૯]")
+_GUJ = re.compile(r"[઀-૿]")
+_LETTER = re.compile(r"[^\W\d_]", re.UNICODE)
+
+# Small closed stopword list (top Gujarati function words + English fillers).
+_STOPWORDS = frozenset(
+    [
+        "છે", "અને", "તે", "એક", "આ", "માં", "ના", "ની", "નો", "નું", "પર",
+        "થી", "કે", "હતી", "હતું", "હતા", "પણ", "જ", "તો", "એ", "માટે", "સાથે",
+        "the", "a", "an", "and", "or", "of", "in", "on", "to", "is", "are",
+        "was", "for", "with", "that", "this", "it", "as", "at", "by",
+    ]
+)
+
+
+def compute_features_one(text: str) -> np.ndarray:
+    """Feature vector for a single document (the scalar oracle for tests)."""
+    return compute_features(pd.Series([text if text is not None else ""]))[0]
+
+
+def _stopword_count(words: list[str]) -> int:
+    return sum(1 for w in words if w.lower() in _STOPWORDS)
+
+
+def compute_features(texts: pd.Series) -> np.ndarray:
+    """Vectorized kernel: Series[str] -> float64 array (len(texts), N_FEATURES).
+
+    All counting goes through pandas ``.str.count`` / ``.str.len`` (compiled
+    regex, C loop over the block) — no ``.apply(axis=1)``, no per-row Spark
+    UDF (input_hint mandate).
+    """
+    t = texts.fillna("").astype(str)
+    n = len(t)
+    out = np.zeros((n, N_FEATURES), dtype=np.float64)
+
+    n_chars = t.str.len().to_numpy(dtype=np.float64)
+    word_lists = t.str.split()
+    n_words = word_lists.str.len().fillna(0).to_numpy(dtype=np.float64)
+    n_sent = t.str.count(_SENT).to_numpy(dtype=np.float64)
+    n_akshara = t.str.count(_AKSHARA).to_numpy(dtype=np.float64)
+    n_punct = t.str.count(_PUNCT).to_numpy(dtype=np.float64)
+    n_digit = t.str.count(_DIGIT).to_numpy(dtype=np.float64)
+    n_guj = t.str.count(_GUJ).to_numpy(dtype=np.float64)
+    n_letter = t.str.count(_LETTER).to_numpy(dtype=np.float64)
+
+    # uniques / stopwords need the token lists; list-comp over the batch is
+    # the pandas-internal loop shape, not a Spark per-row UDF.
+    n_unique = np.array(
+        [len(set(ws)) if isinstance(ws, list) else 0 for ws in word_lists],
+        dtype=np.float64,
+    )
+    n_stop = np.array(
+        [_stopword_count(ws) if isinstance(ws, list) else 0 for ws in word_lists],
+        dtype=np.float64,
+    )
+
+    safe_words = np.maximum(n_words, 1.0)
+    safe_chars = np.maximum(n_chars, 1.0)
+    safe_sent = np.maximum(n_sent, 1.0)
+    safe_letters = np.maximum(n_letter, 1.0)
+
+    nonspace = n_chars - t.str.count(" ").to_numpy(dtype=np.float64)
+
+    out[:, 0] = n_chars
+    out[:, 1] = n_words
+    out[:, 2] = n_sent
+    out[:, 3] = n_akshara
+    out[:, 4] = np.where(n_words > 0, n_unique / safe_words, 0.0)
+    out[:, 5] = np.where(n_chars > 0, n_punct / safe_chars, 0.0)
+    out[:, 6] = np.where(n_letter > 0, n_guj_letters(t) / safe_letters, 0.0)
+    out[:, 7] = np.where(n_chars > 0, n_digit / safe_chars, 0.0)
+    out[:, 8] = np.where(n_words > 0, (nonspace - n_punct) / safe_words, 0.0)
+    out[:, 9] = np.where(n_sent > 0, n_words / safe_sent, 0.0)
+    out[:, 10] = np.where(n_words > 0, n_stop / safe_words, 0.0)
+    out[:, 11] = np.where(n_chars > 0, n_guj / safe_chars, 0.0)
+    return out
+
+
+_GUJ_LETTER = re.compile(r"[અ-હૐૠૡ]")
+
+
+def n_guj_letters(t: pd.Series) -> np.ndarray:
+    """Count Gujarati *letters* (vowels+consonants), for script purity."""
+    return t.str.count(_GUJ_LETTER).to_numpy(dtype=np.float64)

@@ -1,0 +1,101 @@
+"""Aggregation operators: host summary, book decision, eval metrics.
+
+Ports of SURVEY.md §2.4 — the per-book Summary sheet
+(``/root/reference/scripts/predict_single_book.py:377-413``), the book-level
+mean-probability>0.5 decision (``:391-392``), the class-distribution count
+(A1), the confusion matrix + scalar metrics with pos_label=0
+(``train_pagewise_xgboost.py:245-266``), and the verify_metrics
+self-consistency recompute (``scripts/verify_metrics.py:30-51``).
+
+All are single hash-aggregations (map-side partial + final) — at 100 TB the
+only wide edge, keyed by host; skewed hosts go through the salted two-stage
+variant in ``operators/skew.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .split import host_of
+
+__all__ = ["class_distribution", "host_summary", "confusion_matrix", "binary_metrics"]
+
+
+def class_distribution(scored: DataFrame, col: str = "pred_label") -> DataFrame:
+    """A1: groupBy(label).count()."""
+    return scored.groupBy(col).count().orderBy(col)
+
+
+def host_summary(scored: DataFrame, label_col: str | None = "label") -> DataFrame:
+    """A2+A3: per-host rollup of the scored pages (Summary sheet)."""
+    df = scored.withColumn("host", host_of(F.col("url")))
+    aggs = [
+        F.count("*").alias("total_pages"),
+        F.avg("p_nonreadable").alias("avg_p"),
+        F.stddev_samp("p_nonreadable").alias("std_p"),
+        F.min("p_nonreadable").alias("min_p"),
+        F.max("p_nonreadable").alias("max_p"),
+        # book decision: mean prob of NON-readable > 0.5 → host flagged 0
+        F.when(F.avg("p_nonreadable") > 0.5, F.lit(0)).otherwise(F.lit(1)).alias(
+            "host_prediction"
+        ),
+    ]
+    if label_col is not None and label_col in scored.columns:
+        aggs += [
+            F.count(label_col).alias("labeled_pages"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col(label_col), 1).otherwise(0)
+            ).alias("n_correct"),
+            (
+                F.sum(F.when(F.col("pred_label") == F.col(label_col), 1).otherwise(0))
+                / F.nullif(F.count(label_col), F.lit(0))
+            ).alias("accuracy"),
+        ]
+    return df.groupBy("host").agg(*aggs)
+
+
+def confusion_matrix(scored: DataFrame, label_col: str = "label") -> DataFrame:
+    """A4: groupBy(true,pred).count() — the 2×2 pivot happens at the driver."""
+    return (
+        scored.filter(F.col(label_col).isNotNull())
+        .groupBy(F.col(label_col).alias("true_label"), F.col("pred_label"))
+        .count()
+        .orderBy("true_label", "pred_label")
+    )
+
+
+def binary_metrics(scored: DataFrame, label_col: str = "label") -> dict[str, float]:
+    """A5: accuracy / precision / recall / F1 with pos_label=0 (non-readable
+    is the positive class, the reference's convention) — derived from one
+    aggregation pass, no collect of row data."""
+    row = (
+        scored.filter(F.col(label_col).isNotNull())
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when((F.col(label_col) == 0) & (F.col("pred_label") == 0), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when((F.col(label_col) == 1) & (F.col("pred_label") == 0), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when((F.col(label_col) == 0) & (F.col("pred_label") == 1), 1).otherwise(0)).alias("fn"),
+            F.sum(F.when((F.col(label_col) == 1) & (F.col("pred_label") == 1), 1).otherwise(0)).alias("tn"),
+        )
+        .collect()[0]
+    )
+    n, tp, fp, fn, tn = row["n"], row["tp"], row["fp"], row["fn"], row["tn"]
+    precision = tp / (tp + fp) if (tp + fp) else 0.0
+    recall = tp / (tp + fn) if (tp + fn) else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if (precision + recall) else 0.0
+    return {
+        "n": float(n),
+        "accuracy": (tp + tn) / n if n else 0.0,
+        "precision_pos0": precision,
+        "recall_pos0": recall,
+        "f1_pos0": f1,
+    }
+
+
+def verify_metrics(scored: DataFrame, reported: dict[str, float], tol: float = 1e-3) -> bool:
+    """Port of scripts/verify_metrics.py: recompute and compare within tol."""
+    fresh = binary_metrics(scored)
+    return all(
+        abs(fresh[k] - reported[k]) <= tol for k in reported if k in fresh
+    )

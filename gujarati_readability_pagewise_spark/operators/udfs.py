@@ -1,0 +1,131 @@
+"""Arrow-batched kernels: extract → features → broadcast-RF score, ONE batch.
+
+This is the engine's hot path (SURVEY.md §2.9 E1+E2, §7 target architecture).
+The reference runs image batches of 16 through a GPU backbone then scores the
+full matrix with a loaded sklearn model
+(``/root/reference/scripts/extract_pagewise_features.py:249-348``,
+``predict_single_book.py:343-344``).  Here one ``mapInPandas`` stage does,
+per Arrow batch, with zero per-row Python at the Spark level:
+
+  html bytes ──golden extract──▶ text/spans/status
+             ──vectorized feature kernel──▶ array<double>
+             ──broadcast numpy-RF──▶ (pred_label, p_nonreadable)
+
+Keeping all three in ONE narrow stage means the 100 TB scan is read once,
+never shuffled, and the only process boundary is the JVM↔Python Arrow hop —
+the analogue of the reference's DataLoader IPC + host↔GPU transfer.
+
+The kernels are **deterministic** pure functions of the input columns, so
+Spark may re-execute them on task retry / speculation safely (do NOT mark
+them nondeterministic).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.extract import extract_text
+from ..functions.features import N_FEATURES, compute_features
+
+__all__ = [
+    "EXTRACTED_SCHEMA",
+    "SCORED_SCHEMA",
+    "extract_batch",
+    "with_extraction",
+    "with_extraction_and_score",
+]
+
+# Output schema of the extraction kernel (input_hint columns + derived).
+EXTRACTED_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, "
+    "text string, spans array<string>, extract_status string, "
+    "n_bytes bigint, features array<double>"
+)
+SCORED_SCHEMA = EXTRACTED_SCHEMA + ", pred_label int, p_nonreadable double"
+
+
+def extract_batch(pdf: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray]:
+    """Run golden extraction + feature kernel over one pandas batch.
+
+    Returns (result frame without features, feature matrix).  Split out so
+    tests can call it directly against the pure-Python oracle.
+    """
+    htmls = pdf["html"]
+    results = [extract_text(h) for h in htmls]
+    texts = pd.Series([r.text for r in results], index=pdf.index, dtype="object")
+    out = pd.DataFrame(
+        {
+            "url": pdf["url"],
+            "warc_ts": pdf["warc_ts"],
+            "lang": pdf["lang"],
+            "text": texts,
+            "spans": pd.Series([r.spans for r in results], index=pdf.index, dtype="object"),
+            "extract_status": pd.Series(
+                [r.status for r in results], index=pdf.index, dtype="object"
+            ),
+            "n_bytes": htmls.map(lambda b: len(b) if b is not None else 0).astype("int64"),
+        }
+    )
+    feats = compute_features(texts)
+    return out, feats
+
+
+def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out, feats = extract_batch(pdf)
+        out["features"] = list(feats)
+        yield out
+
+
+def with_extraction(pages: DataFrame) -> DataFrame:
+    """pages (url, warc_ts, html, text, lang) → extracted+featurized frame.
+
+    Narrow map stage; only the needed columns cross the Arrow boundary
+    (column pruning: `html` is dropped after extraction so the wide binary
+    payload never flows further down the plan).
+    """
+    cols = ["url", "warc_ts", "html", "lang"]
+    return pages.select(*cols).mapInPandas(_extract_iter, schema=EXTRACTED_SCHEMA)
+
+
+def with_extraction_and_score(pages: DataFrame, model) -> DataFrame:
+    """Same stage, plus broadcast-RF scoring in the same Arrow batch.
+
+    ``model`` is a fitted :class:`...ml.rf.RandomForest`; it is broadcast
+    once per executor (sc.broadcast) rather than captured per-task.
+    """
+    sc = pages.sparkSession.sparkContext
+    bc = sc.broadcast(model)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rf = bc.value
+        for pdf in batches:
+            out, feats = extract_batch(pdf)
+            out["features"] = list(feats)
+            proba = rf.predict_proba(feats)
+            out["pred_label"] = (proba[:, 1] >= proba[:, 0]).astype("int32")
+            out["p_nonreadable"] = proba[:, 0]
+            yield out
+
+    cols = ["url", "warc_ts", "html", "lang"]
+    return pages.select(*cols).mapInPandas(run, schema=SCORED_SCHEMA)
+
+
+def features_matrix(extracted: DataFrame, label_col: str = "label"):
+    """Collect (features, label) to the driver as numpy for RF training.
+
+    Training data is small by design (the reference trains on ~500 rows of
+    a labeled subset; the graft trains on a labeled sample, never the full
+    crawl) — collecting the labeled slice is the intended pattern
+    (SURVEY.md §3.2 restatement).
+    """
+    rows = extracted.select("features", label_col).collect()
+    X = np.array([r["features"] for r in rows], dtype=np.float64)
+    y = np.array([r[label_col] for r in rows], dtype=np.int32)
+    assert X.shape[1] == N_FEATURES
+    return X, y
