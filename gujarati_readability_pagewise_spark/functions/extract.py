@@ -95,11 +95,17 @@ def _decode_entity(m: re.Match) -> str:
 
 
 def _clean_text(raw: str) -> str:
-    """Strip residual tags, decode entities, collapse whitespace."""
-    s = _RE_TAG.sub(" ", raw)
-    s = _RE_ENTITY.sub(_decode_entity, s)
-    s = _RE_WS.sub(" ", s).strip()
-    return s
+    """Strip residual tags, decode entities, collapse whitespace.
+
+    The guards are pure fast-paths: a block with no ``<`` has no tags and a
+    block with no ``&`` has no entities, so skipping the regex pass there
+    cannot change the output.  Whitespace collapse = ``" ".join(s.split())``
+    (C loop; treats all unicode whitespace incl. NBSP uniformly).
+    """
+    s = _RE_TAG.sub(" ", raw) if "<" in raw else raw
+    if "&" in s:
+        s = _RE_ENTITY.sub(_decode_entity, s)
+    return " ".join(s.split())
 
 
 class _Block(NamedTuple):

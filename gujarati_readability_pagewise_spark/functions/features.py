@@ -62,6 +62,8 @@ _PUNCT = re.compile(r"[!-/:-@\[-`{-~।॥…“”‘’]")
 _DIGIT = re.compile(r"[0-9૦-૯]")
 _GUJ = re.compile(r"[઀-૿]")
 _LETTER = re.compile(r"[^\W\d_]", re.UNICODE)
+_GUJ_LETTER = re.compile(r"[અ-હૐૠૡ]")
+_SPACE = re.compile(r" ")
 
 # Small closed stopword list (top Gujarati function words + English fillers).
 _STOPWORDS = frozenset(
@@ -79,6 +81,63 @@ def compute_features_one(text: str) -> np.ndarray:
     return compute_features(pd.Series([text if text is not None else ""]))[0]
 
 
+# --- single-char class counting via codepoint table -------------------------
+# Counting `[class]` occurrences with a regex re-scans the batch once per
+# class; instead we decode the whole batch to a uint32 codepoint array ONCE
+# and evaluate each class on the (few hundred) unique codepoints with the
+# *same compiled regex* — semantics are identical by construction, but the
+# per-character work is a numpy table lookup.  This is the hot path of the
+# engine (the reference's analogue is the batched backbone forward pass).
+
+_BMP = 0x10000
+_TABLE_CACHE: dict[int, np.ndarray] = {}
+
+
+def _table(pat: "re.Pattern") -> np.ndarray:
+    """BMP membership table for a single-char class regex (cached per process)."""
+    tab = _TABLE_CACHE.get(id(pat))
+    if tab is None:
+        tab = np.fromiter(
+            (pat.fullmatch(chr(i)) is not None for i in range(_BMP)),
+            dtype=bool,
+            count=_BMP,
+        )
+        _TABLE_CACHE[id(pat)] = tab
+    return tab
+
+
+def _class_counts(t: pd.Series, patterns: dict[str, "re.Pattern"]) -> dict[str, np.ndarray]:
+    texts = t.tolist()
+    joined = "".join(texts)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.array([len(s) for s in texts], dtype=np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    out: dict[str, np.ndarray] = {"len": lens.astype(np.float64)}
+    if len(cp) == 0:
+        zero = np.zeros(len(texts), dtype=np.float64)
+        out.update({k: zero.copy() for k in patterns})
+        return out
+    astral_idx = np.nonzero(cp >= _BMP)[0]
+    cp_lo = np.where(cp >= _BMP, 0, cp)
+    # reduceat over the NON-empty segment starts only: empty texts own zero
+    # characters, so each non-empty segment's end is exactly the next
+    # non-empty start (or the array end) — no clipping, no misreporting.
+    nonempty = lens > 0
+    starts_ne = starts[nonempty]
+    for name, pat in patterns.items():
+        per = _table(pat)[cp_lo]
+        if len(astral_idx):
+            per[astral_idx] = [
+                pat.fullmatch(chr(int(cp[i]))) is not None for i in astral_idx
+            ]
+        seg = np.zeros(len(texts), dtype=np.float64)
+        if len(starts_ne):
+            seg[nonempty] = np.add.reduceat(per, starts_ne, dtype=np.int64)
+        out[name] = seg
+    return out
+
+
 def _stopword_count(words: list[str]) -> int:
     return sum(1 for w in words if w.lower() in _STOPWORDS)
 
@@ -94,15 +153,26 @@ def compute_features(texts: pd.Series) -> np.ndarray:
     n = len(t)
     out = np.zeros((n, N_FEATURES), dtype=np.float64)
 
-    n_chars = t.str.len().to_numpy(dtype=np.float64)
     word_lists = t.str.split()
     n_words = word_lists.str.len().fillna(0).to_numpy(dtype=np.float64)
     n_sent = t.str.count(_SENT).to_numpy(dtype=np.float64)
     n_akshara = t.str.count(_AKSHARA).to_numpy(dtype=np.float64)
-    n_punct = t.str.count(_PUNCT).to_numpy(dtype=np.float64)
-    n_digit = t.str.count(_DIGIT).to_numpy(dtype=np.float64)
-    n_guj = t.str.count(_GUJ).to_numpy(dtype=np.float64)
-    n_letter = t.str.count(_LETTER).to_numpy(dtype=np.float64)
+    cc = _class_counts(
+        t,
+        {
+            "punct": _PUNCT,
+            "digit": _DIGIT,
+            "guj": _GUJ,
+            "letter": _LETTER,
+            "guj_letter": _GUJ_LETTER,
+            "space": _SPACE,
+        },
+    )
+    n_chars = cc["len"]
+    n_punct = cc["punct"]
+    n_digit = cc["digit"]
+    n_guj = cc["guj"]
+    n_letter = cc["letter"]
 
     # uniques / stopwords need the token lists; list-comp over the batch is
     # the pandas-internal loop shape, not a Spark per-row UDF.
@@ -120,7 +190,7 @@ def compute_features(texts: pd.Series) -> np.ndarray:
     safe_sent = np.maximum(n_sent, 1.0)
     safe_letters = np.maximum(n_letter, 1.0)
 
-    nonspace = n_chars - t.str.count(" ").to_numpy(dtype=np.float64)
+    nonspace = n_chars - cc["space"]
 
     out[:, 0] = n_chars
     out[:, 1] = n_words
@@ -128,7 +198,7 @@ def compute_features(texts: pd.Series) -> np.ndarray:
     out[:, 3] = n_akshara
     out[:, 4] = np.where(n_words > 0, n_unique / safe_words, 0.0)
     out[:, 5] = np.where(n_chars > 0, n_punct / safe_chars, 0.0)
-    out[:, 6] = np.where(n_letter > 0, n_guj_letters(t) / safe_letters, 0.0)
+    out[:, 6] = np.where(n_letter > 0, cc["guj_letter"] / safe_letters, 0.0)
     out[:, 7] = np.where(n_chars > 0, n_digit / safe_chars, 0.0)
     out[:, 8] = np.where(n_words > 0, (nonspace - n_punct) / safe_words, 0.0)
     out[:, 9] = np.where(n_sent > 0, n_words / safe_sent, 0.0)
@@ -137,9 +207,3 @@ def compute_features(texts: pd.Series) -> np.ndarray:
     return out
 
 
-_GUJ_LETTER = re.compile(r"[અ-હૐૠૡ]")
-
-
-def n_guj_letters(t: pd.Series) -> np.ndarray:
-    """Count Gujarati *letters* (vowels+consonants), for script purity."""
-    return t.str.count(_GUJ_LETTER).to_numpy(dtype=np.float64)

@@ -41,59 +41,71 @@ __all__ = [
 ]
 
 # Output schema of the extraction kernel (input_hint columns + derived).
-EXTRACTED_SCHEMA = (
-    "url string, warc_ts timestamp, lang string, "
-    "text string, spans array<string>, extract_status string, "
-    "n_bytes bigint, features array<double>"
-)
+_BASE_SCHEMA = "url string, warc_ts timestamp, lang string, text string"
+_SPANS_SCHEMA = ", spans array<string>"
+_TAIL_SCHEMA = ", extract_status string, n_bytes bigint, features array<double>"
+EXTRACTED_SCHEMA = _BASE_SCHEMA + _SPANS_SCHEMA + _TAIL_SCHEMA
 SCORED_SCHEMA = EXTRACTED_SCHEMA + ", pred_label int, p_nonreadable double"
 
 
-def extract_batch(pdf: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray]:
+def extract_batch(pdf: pd.DataFrame, include_spans: bool = True) -> tuple[pd.DataFrame, np.ndarray]:
     """Run golden extraction + feature kernel over one pandas batch.
 
     Returns (result frame without features, feature matrix).  Split out so
     tests can call it directly against the pure-Python oracle.
+
+    ``include_spans=False`` drops the ordered-span column — spans duplicate
+    the full text, so skipping them halves the Arrow return traffic when a
+    downstream job only needs text/score (bench, aggregation-only runs).
     """
     htmls = pdf["html"]
     results = [extract_text(h) for h in htmls]
     texts = pd.Series([r.text for r in results], index=pdf.index, dtype="object")
-    out = pd.DataFrame(
-        {
-            "url": pdf["url"],
-            "warc_ts": pdf["warc_ts"],
-            "lang": pdf["lang"],
-            "text": texts,
-            "spans": pd.Series([r.spans for r in results], index=pdf.index, dtype="object"),
-            "extract_status": pd.Series(
-                [r.status for r in results], index=pdf.index, dtype="object"
-            ),
-            "n_bytes": htmls.map(lambda b: len(b) if b is not None else 0).astype("int64"),
-        }
+    cols = {
+        "url": pdf["url"],
+        "warc_ts": pdf["warc_ts"],
+        "lang": pdf["lang"],
+        "text": texts,
+    }
+    if include_spans:
+        cols["spans"] = pd.Series(
+            [r.spans for r in results], index=pdf.index, dtype="object"
+        )
+    cols["extract_status"] = pd.Series(
+        [r.status for r in results], index=pdf.index, dtype="object"
     )
+    cols["n_bytes"] = htmls.map(lambda b: len(b) if b is not None else 0).astype("int64")
+    out = pd.DataFrame(cols)
     feats = compute_features(texts)
     return out, feats
 
 
-def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        out, feats = extract_batch(pdf)
-        out["features"] = list(feats)
-        yield out
+def _schema(include_spans: bool, scored: bool) -> str:
+    s = _BASE_SCHEMA + (_SPANS_SCHEMA if include_spans else "") + _TAIL_SCHEMA
+    return s + (", pred_label int, p_nonreadable double" if scored else "")
 
 
-def with_extraction(pages: DataFrame) -> DataFrame:
+def with_extraction(pages: DataFrame, include_spans: bool = True) -> DataFrame:
     """pages (url, warc_ts, html, text, lang) → extracted+featurized frame.
 
     Narrow map stage; only the needed columns cross the Arrow boundary
     (column pruning: `html` is dropped after extraction so the wide binary
     payload never flows further down the plan).
     """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out, feats = extract_batch(pdf, include_spans)
+            out["features"] = list(feats)
+            yield out
+
     cols = ["url", "warc_ts", "html", "lang"]
-    return pages.select(*cols).mapInPandas(_extract_iter, schema=EXTRACTED_SCHEMA)
+    return pages.select(*cols).mapInPandas(run, schema=_schema(include_spans, False))
 
 
-def with_extraction_and_score(pages: DataFrame, model) -> DataFrame:
+def with_extraction_and_score(
+    pages: DataFrame, model, include_spans: bool = True
+) -> DataFrame:
     """Same stage, plus broadcast-RF scoring in the same Arrow batch.
 
     ``model`` is a fitted :class:`...ml.rf.RandomForest`; it is broadcast
@@ -105,7 +117,7 @@ def with_extraction_and_score(pages: DataFrame, model) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rf = bc.value
         for pdf in batches:
-            out, feats = extract_batch(pdf)
+            out, feats = extract_batch(pdf, include_spans)
             out["features"] = list(feats)
             proba = rf.predict_proba(feats)
             out["pred_label"] = (proba[:, 1] >= proba[:, 0]).astype("int32")
@@ -113,7 +125,7 @@ def with_extraction_and_score(pages: DataFrame, model) -> DataFrame:
             yield out
 
     cols = ["url", "warc_ts", "html", "lang"]
-    return pages.select(*cols).mapInPandas(run, schema=SCORED_SCHEMA)
+    return pages.select(*cols).mapInPandas(run, schema=_schema(include_spans, True))
 
 
 def features_matrix(extracted: DataFrame, label_col: str = "label"):

@@ -50,15 +50,23 @@ _POST = (
 
 
 def pages_from_documents(
-    spark: SparkSession, sf_dir: str, replicate: int = 1
+    spark: SparkSession, sf_dir: str, replicate: int = 1, n_partitions: int | None = None
 ) -> DataFrame:
     """documents(doc_id,text,lang,source,n_chars) → pages per input_hint.
 
     Pure Spark expressions — stays inside whole-stage codegen; the binary
     ``html`` column is built with concat+encode, paragraph breaks injected
     at sentence boundaries so block segmentation has real work to do.
+
+    Scale note: ``n_partitions`` repartitions the *documents* table BEFORE
+    the explode + payload build.  The source file is one split, so without
+    this the whole fan-out runs in a single task; and exchanging first means
+    the shuffle moves the ~65 KB docs table, not the ~half-GB of built HTML.
+    Same principle at 100 TB: shuffle keys early, materialize payloads late.
     """
     docs = load_table(spark, sf_dir, "documents")
+    if n_partitions:
+        docs = docs.repartition(n_partitions, "doc_id")
     if replicate > 1:
         docs = docs.withColumn(
             "rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
