@@ -403,6 +403,95 @@ def q_similarity_topk(spark, sf):
     )
 
 
+# -- dedup / similarity / text-analysis suite -------------------------------
+
+def q_dedup_minhash_lsh(spark, sf):
+    """MinHash(16)+LSH(4 bands) candidate pairs over char-5-shingles."""
+    from gujarati_readability_pagewise_spark.operators.dedup import (
+        char_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    sh = char_shingles(docs, "text", "doc_id", k=5)
+    sig = minhash_signatures(sh, "doc_id", n_hashes=16)
+    return lsh_candidate_pairs(sig, "doc_id", bands=4).orderBy("a", "b")
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    """Top-10 most-similar doc pairs by exact char-5-gram Jaccard (subset)."""
+    from gujarati_readability_pagewise_spark.operators.dedup import (
+        char_shingles,
+        jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    sh = char_shingles(docs, "text", "doc_id", k=5)
+    return (
+        jaccard_pairs(sh, "doc_id")
+        .select("a", "b", "n_common", _r(F.col("jaccard")).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
+        .limit(10)
+    )
+
+
+def q_dedup_simhash(spark, sf):
+    """16-bit SimHash fingerprint per document (subset for oracle speed)."""
+    from gujarati_readability_pagewise_spark.operators.dedup import simhash
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return simhash(docs, "text", "doc_id", bits=16).orderBy("doc_id")
+
+
+def q_text_lang_id(spark, sf):
+    from gujarati_readability_pagewise_spark.functions.textstats import lang_id_expr
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(lang_id_expr(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+def q_text_quality_score(spark, sf):
+    from gujarati_readability_pagewise_spark.functions.textstats import (
+        quality_score_expr,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", _r(quality_score_expr(F.col("text"))).alias("qscore")
+    ).orderBy("doc_id")
+
+
+def q_text_fingerprint(spark, sf):
+    from gujarati_readability_pagewise_spark.functions.textstats import (
+        fingerprint_expr,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", fingerprint_expr(F.col("text")).alias("fp")).orderBy(
+        "doc_id"
+    )
+
+
+def q_similarity_lsh_topk(spark, sf):
+    """Hyperplane-LSH approximate top-3 (rows-only; recall vs brute force
+    is pinned in tests/test_dedup_similarity.py)."""
+    from gujarati_readability_pagewise_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return (
+        lsh_topk(emb, q, k=3, n_planes=4)
+        .select("q_id", "c_id", _r(F.col("cos_sim")).alias("cos_sim"), "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
 # -- pipeline operators (Python kernels — rows-only checks) -----------------
 
 def q_pipeline_extract(spark, sf):
@@ -456,6 +545,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_distribution": q_lang_distribution,
         "similarity_topk": q_similarity_topk,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "text_lang_id": q_text_lang_id,
+        "text_quality_score": q_text_quality_score,
+        "text_fingerprint": q_text_fingerprint,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
         "pipeline_extract": q_pipeline_extract,
         "pipeline_score_summary": q_pipeline_score_summary,
     }
@@ -623,6 +719,106 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": (
             "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang"
         ),
+        "dedup_minhash_lsh": """
+            WITH shingles AS (
+              SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+              FROM documents, unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS t(i)
+              WHERE length(substr(text, i, 5)) = 5),
+                 sig AS (
+              SELECT doc_id,
+                     [min(('0x' || substr(md5(shingle || '#0'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#1'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#2'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#3'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#4'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#5'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#6'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#7'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#8'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#9'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#10'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#11'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#12'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#13'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#14'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#15'), 1, 15))::BIGINT)] AS sig
+              FROM shingles GROUP BY doc_id),
+                 banded AS (
+              SELECT doc_id AS k, b.band,
+                     md5(array_to_string(sig[b.band*4 + 1 : b.band*4 + 4], ',')) AS bh
+              FROM sig, unnest([0, 1, 2, 3]) AS b(band))
+            SELECT DISTINCT a.k AS a, b.k AS b
+            FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+            WHERE a.k < b.k ORDER BY a, b
+        """,
+        "dedup_ngram_jaccard": """
+            WITH shingles AS (
+              SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+              FROM documents, unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS t(i)
+              WHERE doc_id < 100 AND length(substr(text, i, 5)) = 5),
+                 sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+                 inter AS (
+              SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS n_common
+              FROM shingles s1 JOIN shingles s2 USING (shingle)
+              WHERE s1.doc_id < s2.doc_id GROUP BY 1, 2)
+            SELECT a, b, n_common,
+                   round(n_common::DOUBLE / (za.sz + zb.sz - n_common), 4) AS jaccard
+            FROM inter
+            JOIN sizes za ON za.doc_id = a
+            JOIN sizes zb ON zb.doc_id = b
+            ORDER BY jaccard DESC, a ASC, b ASC LIMIT 10
+        """,
+        "dedup_simhash": r"""
+            WITH toks AS (
+              SELECT doc_id, t.tok,
+                     ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
+              FROM documents,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS t(tok)
+              WHERE doc_id < 200 AND length(t.tok) > 0),
+                 sums AS (
+              SELECT doc_id,
+                     {sum_cols}
+              FROM toks GROUP BY doc_id)
+            SELECT doc_id, CAST({fp} AS BIGINT) AS simhash
+            FROM sums ORDER BY doc_id
+        """.format(
+            sum_cols=",\n                     ".join(
+                f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+                for b in range(16)
+            ),
+            fp=" + ".join(
+                f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16)
+            ),
+        ),
+        "text_lang_id": """
+            WITH scored AS (
+              SELECT CASE
+                WHEN (length(text) - length(regexp_replace(text, '[઀-૿]', '', 'g')))::DOUBLE
+                     / greatest(length(text), 1) > 0.3 THEN 'gu'
+                WHEN (length(text) - length(regexp_replace(text, '[ऀ-ॿ]', '', 'g')))::DOUBLE
+                     / greatest(length(text), 1) > 0.3 THEN 'hi'
+                WHEN (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
+                     / greatest(length(text), 1) > 0.4 THEN 'en'
+                ELSE 'und' END AS lang_pred
+              FROM documents)
+            SELECT lang_pred, count(*) AS n FROM scored GROUP BY lang_pred ORDER BY lang_pred
+        """,
+        "text_quality_score": """
+            SELECT doc_id,
+                   round(least(greatest(
+                     0.4 * (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0
+                                 WHEN length(text) >= 20 THEN 0.5 ELSE 0.0 END)
+                     + 0.4 * ((length(text) - length(regexp_replace(text,
+                            '[A-Za-z઀-૿ऀ-ॿ]', '', 'g')))::DOUBLE / greatest(length(text), 1))
+                     - 0.2 * ((length(text) - length(regexp_replace(text,
+                            '[0-9!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE / greatest(length(text), 1))
+                     + 0.2, 0.0), 1.0), 4) AS qscore
+            FROM documents ORDER BY doc_id
+        """,
+        "text_fingerprint": """
+            SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+            FROM documents ORDER BY doc_id
+        """,
         "similarity_topk": """
             WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
                        FROM embeddings WHERE vec_id < 5),

@@ -1,0 +1,205 @@
+"""Deduplication operators for crawl-scale corpora.
+
+The reference deduplicates implicitly (unique ``Image Name`` keys); a
+100 TB crawl needs the full family.  Everything here is built from Spark
+expressions (JVM-side, codegen) — no Python in the candidate-generation
+path; only tiny driver-side constants (seed lists).
+
+Cross-engine stable hash: ``stable_hash64(x) = int(md5(x)[:15], 16)`` is
+expressible identically in Spark (``conv(substring(md5(x),1,15),16,10)``)
+and DuckDB (``('0x'||substr(md5(x),1,15))::BIGINT``), so the dedup
+operators are oracle-checkable — unlike engine-private hashes.
+
+Scale notes (100 TB):
+* exact dedup = one hash-partitioned aggregation on the digest (map-side
+  partial combine makes re-crawled duplicates collapse early);
+* MinHash-LSH = explode to (band_idx, band_hash) and shuffle THAT — each
+  row is ~30 bytes regardless of document size, so the candidate join
+  shuffles ~bands×rows tiny tuples, never the corpus;
+* the final verify (exact Jaccard on candidates) touches only candidate
+  pairs, which LSH keeps near-linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = [
+    "stable_hash64",
+    "exact_dedup",
+    "char_shingles",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "simhash",
+    "simhash_candidates",
+]
+
+
+def stable_hash64(col: Column, seed: int | None = None) -> Column:
+    """Deterministic 60-bit int hash, identical in Spark and DuckDB."""
+    x = F.concat(col, F.lit(f"#{seed}")) if seed is not None else col
+    return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-key row per exact text digest (S-duplicate removal)."""
+    w = W.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def char_shingles(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(key, shingle) pairs: distinct character k-grams, pure expressions."""
+    n = F.greatest(F.length(text_col) - (k - 1), F.lit(1))
+    return (
+        df.select(
+            key_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.col(text_col).substr(i, F.lit(k)),
+                )
+            ).alias("shingle"),
+        )
+        .filter(F.length("shingle") == k)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, key_col: str = "doc_id", n_hashes: int = 16
+) -> DataFrame:
+    """(key, sig array<long>): per-permutation min of seeded stable hashes.
+
+    One explode pass; n_hashes min-aggregations fold into a single hash
+    aggregate (all partial-aggregable, so the shuffle carries one row per
+    (key) with n_hashes longs).
+    """
+    aggs = [
+        F.min(stable_hash64(F.col("shingle"), seed=i)).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = shingles.groupBy(key_col).agg(*aggs)
+    return sig.select(
+        key_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, key_col: str = "doc_id", bands: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any MinHash band.
+
+    Bands the signature into `bands` equal slices, hashes each slice, and
+    self-joins on (band_idx, band_hash).  Returns distinct (a, b) with
+    a < b.
+    """
+    n = None  # rows per band derived from the signature length at runtime
+    banded = sig.select(
+        F.col(key_col).alias("k"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"),
+                                    b * (F.size("sig") / bands).cast("int") + 1,
+                                    (F.size("sig") / bands).cast("int"),
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("k", "bb.band", "bb.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.k") < F.col("b.k"))
+        .select(F.col("a.k").alias("a"), F.col("b.k").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, key_col: str = "doc_id", min_jaccard: float = 0.0
+) -> DataFrame:
+    """Exact shingle-set Jaccard for every co-shingled pair (a < b).
+
+    |A∩B| from the shingle self-join; |A|,|B| from per-doc counts;
+    |A∪B| = |A|+|B|−|A∩B|.  Use on LSH candidates at scale; exact on
+    small inputs (and as the DuckDB-checkable oracle form).
+    """
+    sizes = shingles.groupBy(key_col).agg(F.count("*").alias("sz"))
+    s1 = shingles.select(F.col(key_col).alias("a"), "shingle")
+    s2 = shingles.select(F.col(key_col).alias("b"), "shingle")
+    inter = (
+        s1.join(s2, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col(key_col).alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col(key_col).alias("b"), F.col("sz").alias("sz_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("a", "b", "n_common", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """(key, simhash bigint): sign-aggregated token-hash bits.
+
+    For each bit b: sum over tokens of ±1 by bit b of the token's stable
+    hash; the fingerprint sets bit b iff the sum is positive.  All
+    expression-level; one explode + one aggregation.
+    """
+    toks = df.select(
+        key_col,
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = stable_hash64(F.col("tok"))
+    sums = toks.groupBy(key_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select(key_col, fp.cast("long").alias("simhash"))
+
+
+def simhash_candidates(fp: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Near-dup candidates: identical simhash fingerprints (block join)."""
+    a = fp.select(F.col(key_col).alias("a"), "simhash")
+    b = fp.select(F.col(key_col).alias("b"), "simhash")
+    return (
+        a.join(b, "simhash").filter(F.col("a") < F.col("b")).select("a", "b", "simhash")
+    )

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same contract (query set → top-k cosine neighbours):
+
+* ``brute_force_topk`` — exact: cross join + expression-level dot product
+  (``zip_with``/``aggregate``, JVM-side) + per-query window top-k.  O(Q·N);
+  the baseline and the verifier.
+* ``lsh_topk`` — scale path: random-hyperplane LSH.  Each vector gets a
+  ``n_planes``-bit signature (sign of dot with deterministic ±1
+  hyperplanes); candidates share a signature block; exact ranking runs on
+  candidates only.  The hyperplanes derive from a seeded hash of
+  (plane, dim) — no RNG state, so task retries are deterministic, and the
+  signature is a pure expression (no UDF).
+
+At 10^12 rows the LSH signature is one narrow map; the candidate join
+shuffles (signature, id) pairs, not vectors; only candidate pairs touch the
+full embedding via the re-rank join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["cosine", "brute_force_topk", "plane_signs", "lsh_topk"]
+
+
+def cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: (q_id, c_id, cos_sim, rk)."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"))
+    c = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_emb"))
+    pairs = (
+        q.crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "cos_sim", "rk")
+    )
+
+
+def plane_signs(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5(plane, dim) parity."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{p}:{d}".encode()).digest()
+            row.append(1.0 if h[0] & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _signature(vec_col, planes: list[list[float]]):
+    """Bit-packed hyperplane signature as a small int expression."""
+    sig = None
+    for b, row in enumerate(planes):
+        w = F.array(*[F.lit(v) for v in row])
+        dot = F.aggregate(
+            F.zip_with(vec_col, w, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        term = F.when(dot > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sig.cast("int")
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k via hyperplane-signature blocking, multi-probe.
+
+    Corpus vectors land in their own bucket; each query probes its bucket
+    PLUS every 1-bit-flip neighbour (n_planes+1 of 2^n buckets) — the
+    standard multi-probe trick: near neighbours that straddle one
+    hyperplane are still found, at probe cost (n+1)/2^n of the corpus.
+    Candidates are re-ranked exactly, so precision is 1; only recall is
+    approximate.
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = plane_signs(n_planes, dim)
+    c = emb.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_emb"),
+        _signature(F.col(vec_col), planes).alias("sig"),
+    )
+    probe_flips = F.array(
+        F.lit(0), *[F.lit(2**b) for b in range(n_planes)]
+    )  # 0 = own bucket
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_emb"),
+        F.explode(
+            F.transform(
+                probe_flips,
+                lambda flip: _signature(F.col(vec_col), planes).bitwiseXOR(flip),
+            )
+        ).alias("sig"),
+    )
+    pairs = (
+        q.join(c, "sig")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"))
+        .distinct()
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "cos_sim", "rk")
+    )

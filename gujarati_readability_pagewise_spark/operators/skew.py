@@ -1,0 +1,68 @@
+"""Skewed-key handling: heavy-hitter detection + salted two-stage aggregation.
+
+north_rule requires explicit skew machinery: one crawl host can hold 30 %+
+of all pages (the synthetic generator plants exactly that).  AQE's skew-join
+splitting handles *joins*; for wide **aggregations** over the hot key the
+cure is salting — pre-aggregate on (key, salt) so the hot key's rows spread
+over S reducers, then merge the S partials.
+
+Only algebraic aggregates can split this way; this module implements the
+count/sum/min/max/avg family (avg = sum+count merged at stage 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["heavy_hitters", "salted_summary"]
+
+
+def heavy_hitters(df: DataFrame, key: str, min_share: float = 0.1) -> DataFrame:
+    """Keys holding more than ``min_share`` of all rows (exact, two aggs)."""
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > min_share * total)
+        .withColumn("share", F.col("n") / F.lit(float(total)))
+    )
+
+
+def salted_summary(
+    df: DataFrame,
+    key: str,
+    value: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """groupBy(key).agg(count,sum,avg,min,max of value) via salted two-stage.
+
+    Stage 1 groups on (key, salt) — the hot key fans out over ``n_salts``
+    reducers; stage 2 merges the tiny partials.  Salt must be a
+    deterministic function of the ROW (here: value+key hash), never
+    ``rand()``, so task retries reproduce the same partials.
+    """
+    salt = F.pmod(
+        F.xxhash64(F.col(key), F.coalesce(F.col(value).cast("string"), F.lit(""))),
+        F.lit(n_salts),
+    )
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(value).alias("_sum"),
+            F.min(value).alias("_min"),
+            F.max(value).alias("_max"),
+        )
+    )
+    return (
+        partial.groupBy(key)
+        .agg(
+            F.sum("_n").alias("n"),
+            F.sum("_sum").alias("sum_value"),
+            (F.sum("_sum") / F.sum("_n")).alias("avg_value"),
+            F.min("_min").alias("min_value"),
+            F.max("_max").alias("max_value"),
+        )
+    )

@@ -1,0 +1,98 @@
+"""Checkpoint/resume under simulated crash; salted aggregation equivalence."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from gujarati_readability_pagewise_spark.operators.skew import (
+    heavy_hitters,
+    salted_summary,
+)
+from gujarati_readability_pagewise_spark.operators.udfs import with_extraction
+from gujarati_readability_pagewise_spark.plans.checkpoint import (
+    completed_buckets,
+    read_manifest,
+    run_checkpointed,
+)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "manifest")
+    yield out, man
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def _transform(df):
+    return with_extraction(df, include_spans=False)
+
+
+def test_checkpointed_run_completes_and_logs_metrics(spark, pages_df, dirs):
+    out, man = dirs
+    n = run_checkpointed(
+        pages_df, _transform, out, man, n_buckets=8, buckets_per_job=4, job_id="t1"
+    )
+    assert n == 8
+    result = spark.read.parquet(out)
+    assert result.count() == pages_df.count()
+    m = read_manifest(spark, man).toPandas()
+    assert set(m.bucket) == set(range(8))
+    assert m.n_rows.sum() == pages_df.count()
+    assert (m.n_input_bytes >= 0).all() and m.job_id.eq("t1").all()
+
+
+def test_resume_after_crash_no_dupes_no_missing(spark, pages_df, dirs):
+    out, man = dirs
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_checkpointed(
+            pages_df, _transform, out, man,
+            n_buckets=8, buckets_per_job=2, job_id="t2a", fail_after=4,
+        )
+    assert len(completed_buckets(spark, man)) == 4
+    # resume: must process exactly the remaining 4 buckets
+    n2 = run_checkpointed(
+        pages_df, _transform, out, man, n_buckets=8, buckets_per_job=2, job_id="t2b"
+    )
+    assert n2 == 4
+    result = spark.read.parquet(out)
+    assert result.count() == pages_df.count()
+    assert result.select("url").distinct().count() == pages_df.count()  # no dupes
+
+
+def test_rerun_of_completed_job_is_noop(spark, pages_df, dirs):
+    out, man = dirs
+    run_checkpointed(pages_df, _transform, out, man, n_buckets=4, job_id="t3")
+    assert run_checkpointed(pages_df, _transform, out, man, n_buckets=4, job_id="t3b") == 0
+
+
+def test_heavy_hitter_detected(spark, pages_df):
+    hh = heavy_hitters(
+        pages_df.withColumn("host", F.parse_url("url", F.lit("HOST"))), "host", 0.1
+    ).toPandas()
+    assert "big.example.gu" in set(hh.host)  # the planted 32% host
+    assert (hh.share > 0.25).any()
+
+
+def test_salted_summary_equals_direct(spark, pages_df):
+    df = pages_df.withColumn("host", F.parse_url("url", F.lit("HOST"))).withColumn(
+        "v", F.length("html").cast("double")
+    )
+    direct = (
+        df.groupBy("host")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("sum_value"),
+            F.avg("v").alias("avg_value"),
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+        )
+        .orderBy("host")
+        .toPandas()
+    )
+    salted = salted_summary(df, "host", "v", n_salts=8).orderBy("host").toPandas()
+    assert list(direct.host) == list(salted.host)
+    for col in ("n", "sum_value", "min_value", "max_value"):
+        assert list(direct[col]) == list(salted[col]), col
+    assert max(abs(direct.avg_value - salted.avg_value)) < 1e-9

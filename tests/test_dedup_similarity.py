@@ -1,0 +1,108 @@
+"""Dedup + similarity: planted-duplicate recall, LSH vs brute-force, exactness."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gujarati_readability_pagewise_spark.operators.dedup import (
+    char_shingles,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_candidates,
+)
+from gujarati_readability_pagewise_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain in spain "
+    "falls mainly on the plain and little strokes fell great oaks"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                   # exact dup of 0
+        (2, BASE.replace("quick", "slow")),          # near dup of 0
+        (3, "completely different content about spark engines and parquet"),
+        (4, "another unrelated document mentioning gujarati readability"),
+        (5, BASE + " with a small suffix appended"),  # near dup of 0
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup_keeps_lowest_key(spark, docs):
+    out = exact_dedup(docs).orderBy("doc_id").toPandas()
+    assert 0 in set(out.doc_id) and 1 not in set(out.doc_id)
+    assert len(out) == 5
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    sh = char_shingles(docs, k=5)
+    sig = minhash_signatures(sh, n_hashes=16)
+    pairs = {
+        (r["a"], r["b"])
+        for r in lsh_candidate_pairs(sig, bands=4).collect()
+    }
+    assert (0, 1) in pairs  # exact dup must always collide
+    assert (0, 2) in pairs or (0, 5) in pairs  # near dups should collide
+    assert (3, 4) not in pairs  # unrelated docs must not
+
+
+def test_jaccard_exact_values(spark, docs):
+    sh = char_shingles(docs, k=5)
+    jp = jaccard_pairs(sh).toPandas().set_index(["a", "b"])
+    assert jp.loc[(0, 1), "jaccard"] == 1.0  # identical docs
+    assert jp.loc[(0, 2), "jaccard"] > 0.7
+    assert ((3, 4) not in jp.index) or jp.loc[(3, 4), "jaccard"] < 0.2
+
+
+def test_simhash_identical_docs_same_fp(spark, docs):
+    fp = simhash(docs, bits=16).toPandas().set_index("doc_id")["simhash"]
+    assert fp[0] == fp[1]
+    assert 0 <= fp[0] < 2**16
+    cands = {(r["a"], r["b"]) for r in simhash_candidates(simhash(docs, bits=16)).collect()}
+    assert (0, 1) in cands
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=3).collect()
+    approx = lsh_topk(emb, q, k=3, n_planes=4).collect()
+    exact_set = {(r["q_id"], r["c_id"]) for r in exact}
+    approx_set = {(r["q_id"], r["c_id"]) for r in approx}
+    # candidate re-rank is exact → every returned pair's cos matches brute force
+    exact_cos = {(r["q_id"], r["c_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["q_id"], r["c_id"])
+        if key in exact_cos:
+            assert abs(r["cos_sim"] - exact_cos[key]) < 1e-12
+    # recall over 10 queries × top3 should be non-trivial
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"LSH recall too low: {recall}"
+
+
+def test_brute_force_topk_is_exact_on_known_vectors(spark):
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [
+                [1.0, 0.0],
+                [0.9, 0.1],   # closest to 0
+                [0.0, 1.0],   # orthogonal
+                [-1.0, 0.0],  # opposite
+            ],
+        }
+    )
+    emb = spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>")
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).toPandas()
+    assert list(out.c_id) == [1, 2, 3]
+    assert out.cos_sim.iloc[0] > 0.99 and abs(out.cos_sim.iloc[1]) < 1e-9
+    assert out.cos_sim.iloc[2] == -1.0
