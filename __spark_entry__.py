@@ -403,6 +403,128 @@ def q_similarity_topk(spark, sf):
     )
 
 
+def q_w3_topk_indices(spark, sf):
+    """Top-20 dimensions of vector 0 by absolute value (posexplode)."""
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") == 0)
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "val"))
+        .select("dim", _r(F.col("val").cast("double"), 6).alias("val"))
+        .orderBy(F.desc(F.abs(F.col("val"))), F.asc("dim"))
+        .limit(20)
+    )
+
+
+def q_a9_group_first(spark, sf):
+    """count + deterministic first (min_by) per group — A9 books summary."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min_by("text", "doc_id").alias("first_text"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_a10_json_param_mean(spark, sf):
+    """A10 mean-per-parameter + F5 JSON parse: props['k'] avg by event_type."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(_r(F.avg(k)).alias("avg_k"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+def q_f5_json_fence_strip(spark, sf):
+    """F5: markdown-fenced JSON → strip fence → parse field (DQA parser)."""
+    part = load_table(spark, sf, "part")
+    fenced = F.concat(
+        F.lit('```json\n{"rating": "'),
+        F.col("p_size").cast("string"),
+        F.lit('/5 (Good)", "brand": "'),
+        F.col("p_brand"),
+        F.lit('"}\n```'),
+    )
+    stripped = F.regexp_replace(F.regexp_replace(fenced, r"^```json\s*", ""), r"\s*```$", "")
+    return (
+        part.select(
+            "p_partkey",
+            F.get_json_object(stripped, "$.brand").alias("brand"),
+            F.regexp_extract(
+                F.get_json_object(stripped, "$.rating"), r"(\d+(?:\.\d+)?)/5", 1
+            )
+            .cast("double")
+            .alias("rating"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def q_p7_extension_filter(spark, sf):
+    """P7: suffix-set predicate over derived filenames."""
+    docs = load_table(spark, sf, "documents")
+    ext = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(4)) == 0, "png")
+        .when(F.pmod(F.col("doc_id"), F.lit(4)) == 1, "jpg")
+        .when(F.pmod(F.col("doc_id"), F.lit(4)) == 2, "txt")
+        .otherwise("pdf")
+    )
+    fname = F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit("."), ext)
+    return (
+        docs.select("doc_id", fname.alias("fname"))
+        .filter(F.lower(F.substring_index(F.col("fname"), ".", -1)).isin("png", "jpg"))
+        .orderBy("doc_id")
+    )
+
+
+def q_u3_union_distinct(spark, sf):
+    r = load_table(spark, sf, "region").select(F.col("r_name").alias("name"))
+    n = load_table(spark, sf, "nation").select(F.col("n_name").alias("name"))
+    return r.unionByName(n).distinct().orderBy("name")
+
+
+def q_o2_sort_by_agg(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(_r(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), F.asc("l_suppkey"))
+        .limit(20)
+    )
+
+
+def q_rollup_counts(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def q_e3_standardize(spark, sf):
+    """E3 StandardScaler semantics: (x − μ)/σ_samp, computed distributively."""
+    cust = load_table(spark, sf, "customer")
+    stats = cust.agg(
+        F.avg("c_acctbal").alias("mu"), F.stddev_samp("c_acctbal").alias("sd")
+    )
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .select(
+            "c_custkey",
+            _r((F.col("c_acctbal") - F.col("mu")) / F.col("sd")).alias("acctbal_std"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 # -- dedup / similarity / text-analysis suite -------------------------------
 
 def q_dedup_minhash_lsh(spark, sf):
@@ -545,6 +667,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_distribution": q_lang_distribution,
         "similarity_topk": q_similarity_topk,
+        "w3_topk_indices": q_w3_topk_indices,
+        "a9_group_first": q_a9_group_first,
+        "a10_json_param_mean": q_a10_json_param_mean,
+        "f5_json_fence_strip": q_f5_json_fence_strip,
+        "p7_extension_filter": q_p7_extension_filter,
+        "u3_union_distinct": q_u3_union_distinct,
+        "o2_sort_by_agg": q_o2_sort_by_agg,
+        "rollup_counts": q_rollup_counts,
+        "e3_standardize": q_e3_standardize,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -719,6 +850,75 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": (
             "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang"
         ),
+        "w3_topk_indices": """
+            SELECT CAST(t.i - 1 AS INT) AS dim,
+                   round(embedding[t.i]::DOUBLE, 6) AS val
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+            WHERE vec_id = 0
+            ORDER BY abs(embedding[t.i]::DOUBLE) DESC, dim ASC LIMIT 20
+        """,
+        "a9_group_first": """
+            SELECT source, count(*) AS n_docs,
+                   arg_min(text, doc_id) AS first_text,
+                   count(DISTINCT lang) AS n_langs
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "a10_json_param_mean": """
+            SELECT event_type,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "f5_json_fence_strip": r"""
+            WITH fenced AS (
+              SELECT p_partkey,
+                     '```json' || chr(10) || '{"rating": "' || p_size ||
+                     '/5 (Good)", "brand": "' || p_brand || '"}' || chr(10) || '```' AS s
+              FROM part),
+                 stripped AS (
+              SELECT p_partkey,
+                     regexp_replace(regexp_replace(s, '^```json\s*', ''), '\s*```$', '') AS j
+              FROM fenced)
+            SELECT p_partkey,
+                   json_extract_string(j, '$.brand') AS brand,
+                   CAST(regexp_extract(json_extract_string(j, '$.rating'),
+                        '(\d+(?:\.\d+)?)/5', 1) AS DOUBLE) AS rating
+            FROM stripped ORDER BY p_partkey
+        """,
+        "p7_extension_filter": """
+            WITH named AS (
+              SELECT doc_id,
+                     'doc_' || doc_id || '.' ||
+                     CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg'
+                                     WHEN 2 THEN 'txt' ELSE 'pdf' END AS fname
+              FROM documents)
+            SELECT doc_id, fname FROM named
+            WHERE lower(regexp_extract(fname, '([^.]+)$', 1)) IN ('png', 'jpg')
+            ORDER BY doc_id
+        """,
+        "u3_union_distinct": """
+            SELECT DISTINCT name FROM (
+              SELECT r_name AS name FROM region
+              UNION ALL SELECT n_name AS name FROM nation)
+            ORDER BY name
+        """,
+        "o2_sort_by_agg": """
+            SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY l_suppkey
+            ORDER BY total_qty DESC, l_suppkey ASC LIMIT 20
+        """,
+        "rollup_counts": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """,
+        "e3_standardize": """
+            WITH stats AS (
+              SELECT avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sd FROM customer)
+            SELECT c_custkey,
+                   round((c_acctbal - mu) / sd, 4) AS acctbal_std
+            FROM customer CROSS JOIN stats ORDER BY c_custkey
+        """,
         "dedup_minhash_lsh": """
             WITH shingles AS (
               SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle

@@ -1,0 +1,137 @@
+"""Streaming ingest (memory sink) + multimodal batch plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gujarati_readability_pagewise_spark.functions.multimodal import (
+    FEATURE_DIM,
+    decode_image,
+    fake_image_features,
+    media_from_documents,
+    with_media_features,
+)
+from gujarati_readability_pagewise_spark.ml.train import default_model
+from gujarati_readability_pagewise_spark.streaming.ingest import (
+    dedup_recrawls,
+    stream_extract,
+    stream_pages,
+    windowed_host_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, pages_pdf, tmp_path_factory):
+    """Pages parquet dir with planted url recrawls (same url, 2 warc_ts)."""
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    pdf = pages_pdf[["url", "warc_ts", "html", "text", "lang"]].copy()
+    dup = pdf.head(20).copy()
+    dup["warc_ts"] = dup["warc_ts"] + pd.Timedelta(minutes=5)
+    both = pd.concat([pdf, dup], ignore_index=True)
+    spark.createDataFrame(
+        both, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    ).repartition(6).write.mode("overwrite").parquet(d)
+    return d, len(pdf), len(both)
+
+
+def test_stream_dedup_recrawls(spark, stream_src):
+    d, n_unique, n_total = stream_src
+    q = (
+        dedup_recrawls(stream_pages(spark, d))
+        .select("url")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT count(DISTINCT url) AS n, count(*) AS total FROM dedup_out").collect()[0]
+        assert got["n"] == n_unique
+        assert got["total"] == n_unique  # recrawls dropped, not duplicated
+    finally:
+        q.stop()
+
+
+def test_stream_windowed_host_counts(spark, stream_src):
+    d, n_unique, n_total = stream_src
+    q = (
+        windowed_host_counts(stream_pages(spark, d), window="30 minutes")
+        .writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        total = spark.sql("SELECT sum(n_pages) AS s FROM win_out").collect()[0]["s"]
+        assert total == n_total
+        hosts = spark.sql("SELECT DISTINCT host FROM win_out").count()
+        assert hosts >= 30
+    finally:
+        q.stop()
+
+
+def test_stream_extract_foreachbatch(spark, stream_src, tmp_path):
+    d, n_unique, n_total = stream_src
+    out = str(tmp_path / "scored")
+    sink = lambda df, epoch: df.select("url", "pred_label").write.mode("append").parquet(out)
+    q = stream_extract(stream_pages(spark, d), default_model(), sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    res = spark.read.parquet(out)
+    assert res.count() == n_total
+    assert res.filter(F.col("pred_label").isin(0, 1)).count() == n_total
+
+
+def test_media_features_shape_and_determinism(spark):
+    media = media_from_documents(spark, "/root/testdata/sf0.001")
+    out = with_media_features(media).toPandas()
+    assert len(out) == media.count()
+    assert all(len(f) == FEATURE_DIM for f in out.features)
+    assert set(out.decode_status) <= {"ok", "empty"}
+    out2 = with_media_features(media).toPandas().sort_values("media_id")
+    out = out.sort_values("media_id")
+    for a, b in zip(out.features, out2.features):
+        np.testing.assert_array_equal(a, b)
+    # metadata struct survives the Arrow round-trip
+    m0 = out.meta.iloc[0]
+    assert m0["mime"] == "image/png" and m0["width"] >= 64
+
+
+def test_media_corrupt_payload_tolerated(spark):
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "payload": [b"", None],
+            "meta": [
+                {"mime": "image/png", "width": 1, "height": 1, "n_bytes": 0},
+                {"mime": "image/png", "width": 1, "height": 1, "n_bytes": 0},
+            ],
+        }
+    )
+    media = spark.createDataFrame(
+        pdf,
+        schema="media_id bigint, payload binary, "
+        "meta struct<mime:string, width:int, height:int, n_bytes:bigint>",
+    )
+    out = with_media_features(media).toPandas()
+    assert list(out.decode_status) == ["empty", "empty"]
+    assert all(np.all(np.array(f) == 0.0) for f in out.features)
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError, match="PIL/opencv"):
+        decode_image(b"\x89PNG...")
+
+
+def test_fake_features_pure_function():
+    s = pd.Series([b"abc", b"", None, b"abc"])
+    a = fake_image_features(s)
+    b = fake_image_features(s)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a[0], a[3])
+    assert np.all(a[1] == 0) and np.all(a[2] == 0)
