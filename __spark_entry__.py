@@ -566,6 +566,32 @@ def q_dedup_simhash(spark, sf):
     return simhash(docs, "text", "doc_id", bits=16).orderBy("doc_id")
 
 
+def q_dedup_verified_pairs(spark, sf):
+    """Full near-dup pipeline: MinHash-LSH candidates → exact-Jaccard verify.
+
+    The LSH stage prunes the quadratic pair space; only candidates pay the
+    exact shingle-set comparison — the shape that stays near-linear at
+    10^12 docs."""
+    from gujarati_readability_pagewise_spark.operators.dedup import (
+        char_shingles,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    sh = char_shingles(docs, "text", "doc_id", k=5)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(sh, "doc_id", n_hashes=16), "doc_id", bands=4
+    )
+    verified = jaccard_pairs(sh, "doc_id").join(cands, ["a", "b"], "left_semi")
+    return (
+        verified.filter(F.col("jaccard") >= 0.5)
+        .select("a", "b", "n_common", _r(F.col("jaccard")).alias("jaccard"))
+        .orderBy("a", "b")
+    )
+
+
 def q_text_lang_id(spark, sf):
     from gujarati_readability_pagewise_spark.functions.textstats import lang_id_expr
 
@@ -679,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_verified_pairs": q_dedup_verified_pairs,
         "text_lang_id": q_text_lang_id,
         "text_quality_score": q_text_quality_score,
         "text_fingerprint": q_text_fingerprint,
@@ -950,6 +977,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.k AS a, b.k AS b
             FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
             WHERE a.k < b.k ORDER BY a, b
+        """,
+        "dedup_verified_pairs": """
+            WITH shingles AS (
+              SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+              FROM documents, unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS t(i)
+              WHERE length(substr(text, i, 5)) = 5),
+                 sig AS (
+              SELECT doc_id,
+                     [min(('0x' || substr(md5(shingle || '#0'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#1'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#2'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#3'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#4'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#5'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#6'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#7'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#8'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#9'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#10'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#11'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#12'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#13'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#14'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#15'), 1, 15))::BIGINT)] AS sig
+              FROM shingles GROUP BY doc_id),
+                 banded AS (
+              SELECT doc_id AS k, b.band,
+                     md5(array_to_string(sig[b.band*4 + 1 : b.band*4 + 4], ',')) AS bh
+              FROM sig, unnest([0, 1, 2, 3]) AS b(band)),
+                 cands AS (
+              SELECT DISTINCT a.k AS a, b.k AS b
+              FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+              WHERE a.k < b.k),
+                 sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+                 inter AS (
+              SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS n_common
+              FROM shingles s1 JOIN shingles s2 USING (shingle)
+              WHERE s1.doc_id < s2.doc_id GROUP BY 1, 2)
+            SELECT i.a, i.b, i.n_common,
+                   round(i.n_common::DOUBLE / (za.sz + zb.sz - i.n_common), 4) AS jaccard
+            FROM inter i
+            JOIN sizes za ON za.doc_id = i.a
+            JOIN sizes zb ON zb.doc_id = i.b
+            WHERE EXISTS (SELECT 1 FROM cands c WHERE c.a = i.a AND c.b = i.b)
+              AND i.n_common::DOUBLE / (za.sz + zb.sz - i.n_common) >= 0.5
+            ORDER BY i.a, i.b
         """,
         "dedup_ngram_jaccard": """
             WITH shingles AS (

@@ -1,0 +1,57 @@
+"""Property-based robustness: the golden extractor must be total (never
+raise), deterministic, and idempotent-on-bytes for ARBITRARY input — the
+crawl will throw every byte sequence in existence at it."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gujarati_readability_pagewise_spark.functions.extract import (
+    extract_text,
+)
+from gujarati_readability_pagewise_spark.functions.features import (
+    compute_features_one,
+)
+
+import numpy as np
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=4096))
+def test_extract_total_and_deterministic(data):
+    r1 = extract_text(data)
+    r2 = extract_text(data)
+    assert r1.text.encode("utf-8") == r2.text.encode("utf-8")
+    assert r1.status in ("ok", "empty", "error")
+    assert r1.spans == r2.spans
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=2048))
+def test_extract_html_wrapped_text_total(body):
+    html = f"<html><body><p>{body}</p></body></html>".encode("utf-8", "surrogatepass")
+    r = extract_text(html)
+    assert isinstance(r.text, str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=1024))
+def test_features_finite_and_bounded(text):
+    v = compute_features_one(text)
+    assert np.all(np.isfinite(v))
+    # ratio features live in [0, 1]
+    for idx in (4, 5, 6, 7, 10, 11):
+        assert 0.0 <= v[idx] <= 1.0, idx
+    # counts are non-negative
+    assert np.all(v[:4] >= 0)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(max_size=200), min_size=0, max_size=20))
+def test_features_batch_equals_scalar(texts):
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.functions.features import compute_features
+
+    X = compute_features(pd.Series(texts, dtype="object"))
+    for i, t in enumerate(texts):
+        np.testing.assert_array_equal(X[i], compute_features_one(t))
