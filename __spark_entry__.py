@@ -509,6 +509,66 @@ def q_rollup_counts(spark, sf):
     )
 
 
+def q_f1_slug_cascade(spark, sf):
+    """F1 book-name cascade analogue: multi-rule slug normalization.
+
+    Mirrors generate_image_book_mapping.py:16-107's rule ladder: strip a
+    leading timestamp token, strip trailing page/part markers, collapse
+    separators — as nested built-in regexes, never a UDF."""
+    docs = load_table(spark, sf, "documents")
+    raw = F.concat(
+        F.lit("20240301120000_"),
+        F.col("source"),
+        F.lit("_vol_"),
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, "_p1").otherwise("_p2"),
+    )
+    s1 = F.regexp_replace(raw, r"^\d{14}_", "")       # rule: timestamp prefix
+    s2 = F.regexp_replace(s1, r"_p[12]$", "")          # rule: _p1/_p2 suffix
+    s3 = F.regexp_replace(s2, r"_\d+$", "")            # rule: trailing number
+    s4 = F.regexp_replace(s3, r"_+", " ")              # rule: underscores→spaces
+    return docs.select("doc_id", F.trim(s4).alias("slug")).orderBy("doc_id")
+
+
+def q_f3_ts_format(spark, sf):
+    """F3: the reference's strftime('%Y%m%d_%H%M%S') run-stamp format."""
+    ords = load_table(spark, sf, "orders").filter(F.col("o_orderkey") < 200)
+    return ords.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyyMMdd_HHmmss").alias("stamp"),
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("iso"),
+    ).orderBy("o_orderkey")
+
+
+def q_a5b_auc(spark, sf):
+    """Rank-based ROC AUC (Mann-Whitney U) as one window + one aggregate —
+    the distributed form of the reference's roc_auc_score (A5/W4)."""
+    ev = load_table(spark, sf, "events")
+    d = ev.select(
+        F.when(F.pmod(F.col("user_id"), F.lit(3)) == 0, 1).otherwise(0).alias("pos"),
+        F.col("value").alias("score"),
+        F.col("event_id"),
+    )
+    w = W.orderBy(F.asc("score"), F.asc("event_id"))
+    ranked = d.withColumn("rk", F.row_number().over(w))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("pos") == 1, F.col("rk")).otherwise(0)).alias("rank_sum"),
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("pos")).alias("n_neg"),
+    )
+    return agg.select(
+        _r(
+            (
+                F.col("rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2
+            )
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+        "n_pos",
+        "n_neg",
+    )
+
+
 def q_e3_standardize(spark, sf):
     """E3 StandardScaler semantics: (x − μ)/σ_samp, computed distributively."""
     cust = load_table(spark, sf, "customer")
@@ -702,6 +762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o2_sort_by_agg": q_o2_sort_by_agg,
         "rollup_counts": q_rollup_counts,
         "e3_standardize": q_e3_standardize,
+        "f1_slug_cascade": q_f1_slug_cascade,
+        "f3_ts_format": q_f3_ts_format,
+        "a5b_auc": q_a5b_auc,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -977,6 +1040,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.k AS a, b.k AS b
             FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
             WHERE a.k < b.k ORDER BY a, b
+        """,
+        "f1_slug_cascade": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                     '20240301120000_' || source || '_vol_' || (doc_id % 3) ||
+                     (CASE WHEN doc_id % 2 = 0 THEN '_p1' ELSE '_p2' END) AS r
+              FROM documents)
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(r, '^\d{14}_', ''),
+                       '_p[12]$', ''),
+                     '_\d+$', ''),
+                   '_+', ' ', 'g')) AS slug
+            FROM raw ORDER BY doc_id
+        """,
+        "f3_ts_format": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y%m%d_%H%M%S') AS stamp,
+                   strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso
+            FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey
+        """,
+        "a5b_auc": """
+            WITH d AS (
+              SELECT CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS pos,
+                     value AS score, event_id
+              FROM events),
+                 ranked AS (
+              SELECT pos, row_number() OVER (ORDER BY score ASC, event_id ASC) AS rk
+              FROM d)
+            SELECT round((sum(CASE WHEN pos = 1 THEN rk ELSE 0 END)
+                          - sum(pos) * (sum(pos) + 1) / 2)::DOUBLE
+                         / (sum(pos) * sum(1 - pos)), 6) AS auc,
+                   CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(1 - pos) AS BIGINT) AS n_neg
+            FROM ranked
         """,
         "dedup_verified_pairs": """
             WITH shingles AS (
