@@ -543,14 +543,19 @@ def q_f3_ts_format(spark, sf):
 def q_a5b_auc(spark, sf):
     """Rank-based ROC AUC (Mann-Whitney U) as one window + one aggregate —
     the distributed form of the reference's roc_auc_score (A5/W4)."""
+    from gujarati_readability_pagewise_spark.operators.aggregate import (
+        distributed_rank,
+    )
+
     ev = load_table(spark, sf, "events")
     d = ev.select(
         F.when(F.pmod(F.col("user_id"), F.lit(3)) == 0, 1).otherwise(0).alias("pos"),
         F.col("value").alias("score"),
         F.col("event_id"),
     )
-    w = W.orderBy(F.asc("score"), F.asc("event_id"))
-    ranked = d.withColumn("rk", F.row_number().over(w))
+    # scalable rank (range-bucketed windows), NOT a single-partition window;
+    # the DuckDB oracle's global row_number() validates its exactness
+    ranked = distributed_rank(d, "score", "event_id")
     agg = ranked.agg(
         F.sum(F.when(F.col("pos") == 1, F.col("rk")).otherwise(0)).alias("rank_sum"),
         F.sum("pos").alias("n_pos"),

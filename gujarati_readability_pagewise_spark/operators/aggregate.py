@@ -14,7 +14,7 @@ variant in ``operators/skew.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from .split import host_of
@@ -91,6 +91,59 @@ def binary_metrics(scored: DataFrame, label_col: str = "label") -> dict[str, flo
         "recall_pos0": recall,
         "f1_pos0": f1,
     }
+
+
+def distributed_rank(
+    df: DataFrame, score: str, tiebreak: str, n_buckets: int = 64
+) -> DataFrame:
+    """Global dense row-rank over (score, tiebreak) WITHOUT a single-partition
+    window.
+
+    A global ``row_number()`` forces all rows into one partition (Spark even
+    warns).  Scalable form: range-bucket the scores (boundaries from
+    ``approxQuantile`` — tiny driver list), rank inside each bucket with a
+    bucket-partitioned window (parallel), then add per-bucket prefix counts
+    (computed from one small aggregate).  Ordering is consistent because
+    bucket assignment is monotone in score and ties share a bucket.
+    """
+    spark = df.sparkSession
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.approxQuantile(score, probs, 0.001)))
+    if bounds:
+        conds = F.lit(0)
+        for b in bounds:
+            conds = conds + F.when(F.col(score) > F.lit(b), 1).otherwise(0)
+        bucketed = df.withColumn("_bkt", conds)
+    else:
+        bucketed = df.withColumn("_bkt", F.lit(0))
+    counts = {
+        r["_bkt"]: r["n"]
+        for r in bucketed.groupBy("_bkt").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_df = spark.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "_bkt int, _off bigint"
+    )
+    w = W.partitionBy("_bkt").orderBy(F.asc(score), F.asc(tiebreak))
+    return (
+        bucketed.join(F.broadcast(off_df), "_bkt")
+        .withColumn("rk", (F.row_number().over(w) + F.col("_off")).cast("long"))
+        .drop("_bkt", "_off")
+    )
+
+
+def roc_auc(df: DataFrame, label_col: str, score_col: str, tiebreak: str) -> float:
+    """Exact rank-based (Mann-Whitney) ROC AUC, fully distributed."""
+    ranked = distributed_rank(df.select(label_col, score_col, tiebreak), score_col, tiebreak)
+    row = ranked.agg(
+        F.sum(F.when(F.col(label_col) == 1, F.col("rk")).otherwise(0)).alias("rs"),
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col(label_col) == 1, 0).otherwise(1)).alias("nn"),
+    ).collect()[0]
+    return float((row["rs"] - row["np"] * (row["np"] + 1) / 2) / (row["np"] * row["nn"]))
 
 
 def verify_metrics(scored: DataFrame, reported: dict[str, float], tol: float = 1e-3) -> bool:

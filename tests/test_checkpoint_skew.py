@@ -96,3 +96,27 @@ def test_salted_summary_equals_direct(spark, pages_df):
     for col in ("n", "sum_value", "min_value", "max_value"):
         assert list(direct[col]) == list(salted[col]), col
     assert max(abs(direct.avg_value - salted.avg_value)) < 1e-9
+
+
+def test_distributed_rank_matches_global_window(spark):
+    from pyspark.sql import Window as W2
+    from gujarati_readability_pagewise_spark.operators.aggregate import (
+        distributed_rank,
+        roc_auc,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = ev.select(
+        F.when(F.pmod(F.col("user_id"), F.lit(3)) == 0, 1).otherwise(0).alias("pos"),
+        F.col("value").alias("score"),
+        "event_id",
+    )
+    got = distributed_rank(d, "score", "event_id").select("event_id", "rk")
+    want = d.withColumn(
+        "rk_g",
+        F.row_number().over(W2.orderBy(F.asc("score"), F.asc("event_id"))).cast("long"),
+    ).select("event_id", "rk_g")
+    diff = got.join(want, "event_id").filter(F.col("rk") != F.col("rk_g")).count()
+    assert diff == 0
+    auc = roc_auc(d.withColumnRenamed("pos", "label"), "label", "score", "event_id")
+    assert 0.4 < auc < 0.6  # random labels vs score
