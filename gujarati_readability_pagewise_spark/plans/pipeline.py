@@ -1,8 +1,10 @@
-"""The production job: end-to-end crawl extraction, spark-submit-able.
+"""The production job: end-to-end crawl extraction.
 
-``python -m gujarati_readability_pagewise_spark.plans.pipeline <pages_dir>
-<out_root>`` — or via ``spark-submit --py-files dist/engine.zip`` with this
-file as the application.  One invocation:
+Run via ``python -m gujarati_readability_pagewise_spark.plans.pipeline
+<pages_dir> <out_root>`` or, on a cluster, through the absolute-import
+launcher ``jobs/extract_pipeline.py`` with ``spark-submit --py-files
+dist/engine.zip`` (an application file cannot use relative imports).
+One invocation:
 
 1. reads the pages table (input_hint schema),
 2. runs the checkpointed, bucketed extract+features+score stage
