@@ -325,6 +325,25 @@ def q_tpch_q1(spark, sf):
     )
 
 
+def q_u4_intersect(spark, sf):
+    """U-family: customers appearing in BOTH halves of the order history."""
+    ords = load_table(spark, sf, "orders")
+    early = ords.filter(F.col("o_orderdate") < F.lit("1998-01-01")).select("o_custkey")
+    late = ords.filter(F.col("o_orderdate") >= F.lit("1998-01-01")).select("o_custkey")
+    return early.intersect(late).orderBy("o_custkey")
+
+
+def q_u5_except(spark, sf):
+    """U-family: nations with customers but no suppliers (exceptAll→distinct)."""
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    sup = load_table(spark, sf, "supplier").filter(F.col("s_acctbal") > 9000).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.distinct().exceptAll(sup.distinct()).orderBy("nationkey")
+
+
 def q_tpch_q3(spark, sf):
     """Q3 shape: 3-way join, filtered, grouped revenue, top-10."""
     cust = load_table(spark, sf, "customer")
@@ -860,6 +879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_host_extract": q_f1_host_extract,
         "f2_rating_parse": q_f2_rating_parse,
         "tpch_q1": q_tpch_q1,
+        "u4_intersect": q_u4_intersect,
+        "u5_except": q_u5_except,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
@@ -1031,6 +1052,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+        """,
+        "u4_intersect": """
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            INTERSECT
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+            ORDER BY o_custkey
+        """,
+        "u5_except": """
+            SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+            ORDER BY nationkey
         """,
         "tpch_q3": """
             SELECT o_orderkey, o_orderdate, o_orderpriority,

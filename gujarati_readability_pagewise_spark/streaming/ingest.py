@@ -52,6 +52,40 @@ def windowed_host_counts(
     )
 
 
+def running_host_totals(pages: DataFrame) -> DataFrame:
+    """Custom stateful operator: cumulative per-host page/byte totals.
+
+    ``applyInPandasWithState`` keeps one tiny state row per host across
+    micro-batches — the engine's example of a custom stateful streaming
+    operator (state bounded by #hosts, emitted every batch the host
+    appears in)."""
+    import pandas as pd
+
+    host = F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
+
+    def update(key, pdfs, state):
+        n, b = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            b += int(pdf["html"].map(lambda x: len(x) if x is not None else 0).sum())
+        state.update((n, b))
+        yield pd.DataFrame(
+            {"host": [key[0]], "total_pages": [n], "total_bytes": [b]}
+        )
+
+    return (
+        pages.select(host, "url", "html")
+        .groupBy("host")
+        .applyInPandasWithState(
+            update,
+            outputStructType="host string, total_pages bigint, total_bytes bigint",
+            stateStructType="n bigint, b bigint",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 def stream_extract(
     pages: DataFrame,
     model,
