@@ -463,10 +463,16 @@ def q_dedup_exact(spark, sf):
 
 def q_text_token_count(spark, sf):
     docs = load_table(spark, sf, "documents")
+    from gujarati_readability_pagewise_spark.functions.textstats import (
+        bpe_ish_token_count_expr,
+        token_count_expr,
+    )
+
     return (
         docs.select(
             "doc_id",
-            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+            token_count_expr(F.col("text")).alias("n_tokens"),
+            bpe_ish_token_count_expr(F.col("text")).alias("n_bpe_tokens"),
             F.length("text").alias("n_chars_actual"),
         )
         .orderBy("doc_id")
@@ -783,6 +789,27 @@ def q_dedup_verified_pairs(spark, sf):
     )
 
 
+def q_dedup_embedding(spark, sf):
+    """Embedding-cosine near-dup pairs (dedup family, ANN-verified shape).
+
+    Brute force over a bounded slice with a high threshold; at crawl scale
+    the candidate set comes from operators/similarity.lsh_topk instead of
+    the cross join — the verify step (this expression) is identical."""
+    from gujarati_readability_pagewise_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine(F.col("ea"), F.col("eb")).alias("cos"))
+        .filter(F.col("cos") > 0.38)
+        .select("a", "b", _r(F.col("cos")).alias("cos_sim"))
+        .orderBy("a", "b")
+    )
+
+
 def q_text_lang_id(spark, sf):
     from gujarati_readability_pagewise_spark.functions.textstats import lang_id_expr
 
@@ -907,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_verified_pairs": q_dedup_verified_pairs,
+        "dedup_embedding": q_dedup_embedding,
         "text_lang_id": q_text_lang_id,
         "text_quality_score": q_text_quality_score,
         "text_fingerprint": q_text_fingerprint,
@@ -1137,6 +1165,8 @@ def oracle_sql() -> dict[str, str]:
         "text_token_count": r"""
             SELECT doc_id,
                    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '(\w+|[^\w\s])')) AS INT)
+                     AS n_bpe_tokens,
                    length(text) AS n_chars_actual
             FROM documents ORDER BY doc_id
         """,
@@ -1336,6 +1366,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM cands c WHERE c.a = i.a AND c.b = i.b)
               AND i.n_common::DOUBLE / (za.sz + zb.sz - i.n_common) >= 0.5
             ORDER BY i.a, i.b
+        """,
+        "dedup_embedding": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_dot_product(a.embedding, b.embedding)
+                         / (sqrt(list_dot_product(a.embedding, a.embedding))
+                            * sqrt(list_dot_product(b.embedding, b.embedding))), 4)
+                     AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.embedding, b.embedding)
+                  / (sqrt(list_dot_product(a.embedding, a.embedding))
+                     * sqrt(list_dot_product(b.embedding, b.embedding))) > 0.38
+            ORDER BY a, b
         """,
         "dedup_ngram_jaccard": """
             WITH shingles AS (

@@ -120,3 +120,25 @@ def test_distributed_rank_matches_global_window(spark):
     assert diff == 0
     auc = roc_auc(d.withColumnRenamed("pos", "label"), "label", "score", "event_id")
     assert 0.4 < auc < 0.6  # random labels vs score
+
+
+def test_salting_actually_spreads_the_hot_key(spark, pages_df):
+    """SURVEY §7 hard-part 3: prove the salt does real work — partitioning by
+    raw host leaves >25% of rows in one partition; (host, salt) spreads it."""
+    df = pages_df.withColumn("host", F.parse_url("url", F.lit("HOST")))
+    n = df.count()
+
+    def max_partition_rows(d):
+        sizes = (
+            d.rdd.glom().map(len).collect()
+        )
+        return max(sizes)
+
+    by_host = df.repartition(16, "host")
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64("url"), F.lit(16))
+    ).repartition(16, "host", "_salt")
+    hot = max_partition_rows(by_host) / n
+    spread = max_partition_rows(salted) / n
+    assert hot > 0.25, f"fixture lost its hot host ({hot})"
+    assert spread < 0.15, f"salting failed to spread ({spread})"
