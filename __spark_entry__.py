@@ -716,7 +716,10 @@ def q_e3_standardize(spark, sf):
         cust.crossJoin(F.broadcast(stats))
         .select(
             "c_custkey",
-            _r((F.col("c_acctbal") - F.col("mu")) / F.col("sd")).alias("acctbal_std"),
+            # + 0.0 canonicalizes IEEE −0.0 (round of a tiny negative) to 0.0
+            (_r((F.col("c_acctbal") - F.col("mu")) / F.col("sd")) + F.lit(0.0)).alias(
+                "acctbal_std"
+            ),
         )
         .orderBy("c_custkey")
     )
@@ -1249,7 +1252,7 @@ def oracle_sql() -> dict[str, str]:
             WITH stats AS (
               SELECT avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sd FROM customer)
             SELECT c_custkey,
-                   round((c_acctbal - mu) / sd, 4) AS acctbal_std
+                   round((c_acctbal - mu) / sd, 4) + 0.0 AS acctbal_std
             FROM customer CROSS JOIN stats ORDER BY c_custkey
         """,
         "dedup_minhash_lsh": """
