@@ -156,7 +156,6 @@ def compute_features(texts: pd.Series) -> np.ndarray:
     word_lists = t.str.split()
     n_words = word_lists.str.len().fillna(0).to_numpy(dtype=np.float64)
     n_sent = t.str.count(_SENT).to_numpy(dtype=np.float64)
-    n_akshara = t.str.count(_AKSHARA).to_numpy(dtype=np.float64)
     cc = _class_counts(
         t,
         {
@@ -173,6 +172,13 @@ def compute_features(texts: pd.Series) -> np.ndarray:
     n_digit = cc["digit"]
     n_guj = cc["guj"]
     n_letter = cc["letter"]
+
+    # akshara grammar only where Gujarati codepoints exist — a doc with
+    # n_guj == 0 has 0 aksharas by definition, so the guard is exact
+    n_akshara = np.zeros(n, dtype=np.float64)
+    has_guj = n_guj > 0
+    if has_guj.any():
+        n_akshara[has_guj] = t[has_guj].str.count(_AKSHARA).to_numpy(dtype=np.float64)
 
     # uniques / stopwords need the token lists; list-comp over the batch is
     # the pandas-internal loop shape, not a Spark per-row UDF.
