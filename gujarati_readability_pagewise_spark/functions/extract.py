@@ -62,10 +62,21 @@ _BLOCK_TAGS = (
     "fieldset|dl|dt|dd|title|body|html"
 )
 _RE_BLOCK_SPLIT = re.compile(r"</?(?:%s)\b[^>]*>" % _BLOCK_TAGS, re.IGNORECASE)
+_RE_BLOCK_SPLIT_CS = re.compile(_RE_BLOCK_SPLIT.pattern)
 
 # Anchor spans (to measure link density) — non-greedy, no nesting support
 # needed: nested <a> is invalid HTML and the crawl templates never emit it.
 _RE_ANCHOR = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
+
+# Case-sensitive twins of the tag regexes, used when the whole document is
+# already lowercase (`str.islower()` — the overwhelmingly common crawl case):
+# IGNORECASE costs ~2x on the alternation-heavy block split, and on an
+# all-lowercase document the case-sensitive match is also the HTML5-correct
+# one (tag names are case-insensitive over ASCII ONLY, so e.g. `<ſcript>`
+# with LATIN SMALL LONG S is *not* a script tag — sre's IGNORECASE
+# equivalence table would wrongly treat it as one).
+_RE_DROP_CONTENT_CS = re.compile(_RE_DROP_CONTENT.pattern, re.DOTALL)
+_RE_ANCHOR_CS = re.compile(_RE_ANCHOR.pattern, re.DOTALL)
 _RE_TAG = re.compile(r"<[^>]*>")
 _RE_WS = re.compile(r"[ \t\r\n\f\v ]+")
 
@@ -122,17 +133,23 @@ MIN_RESCUE_WORDS = 3       # shorter blocks are rescued only next to content
 MAX_LINK_DENSITY = 1.0 / 3.0
 
 
-def _segment(html: str) -> list[_Block]:
+def _segment(html: str, lower: bool = False) -> list[_Block]:
+    """Split into scored text blocks.  ``lower=True`` (caller checked
+    ``html.islower()``) selects the case-sensitive regex twins — identical
+    matches on such input, ~2x faster on the alternation-heavy split."""
+    drop = _RE_DROP_CONTENT_CS if lower else _RE_DROP_CONTENT
+    block_split = _RE_BLOCK_SPLIT_CS if lower else _RE_BLOCK_SPLIT
+    anchor = _RE_ANCHOR_CS if lower else _RE_ANCHOR
     html = _RE_COMMENT.sub(" ", html)
-    html = _RE_DROP_CONTENT.sub(" ", html)
+    html = drop.sub(" ", html)
     blocks: list[_Block] = []
-    for raw in _RE_BLOCK_SPLIT.split(html):
+    for raw in block_split.split(html):
         if not raw or raw.isspace():
             continue
         # words inside anchors, before stripping tags from the whole block
         link_words = 0
-        if "<a" in raw or "<A" in raw:
-            for m in _RE_ANCHOR.finditer(raw):
+        if "<a" in raw or (not lower and "<A" in raw):
+            for m in anchor.finditer(raw):
                 link_words += len(_clean_text(m.group(1)).split())
         text = _clean_text(raw)
         if not text:
@@ -182,7 +199,7 @@ def extract_text(html: bytes | None) -> ExtractResult:
         s = html.decode("utf-8", errors="replace")
         status = STATUS_ERROR
     s = unicodedata.normalize("NFC", s)
-    blocks = _segment(s)
+    blocks = _segment(s, s.islower())
     keep = _classify(blocks)
     spans = [b.text for b, k in zip(blocks, keep) if k]
     if not spans:

@@ -89,6 +89,18 @@ def _signature(vec_col, planes: list[list[float]]):
     return sig.cast("int")
 
 
+def _probe_flips(n_planes: int, probe_radius: int) -> list[int]:
+    """Signature XOR masks for multi-probe: all bucket ids within Hamming
+    distance ``probe_radius`` of the query's own bucket (0 = own bucket)."""
+    from itertools import combinations
+
+    flips = [0]
+    for r in range(1, probe_radius + 1):
+        for bits in combinations(range(n_planes), r):
+            flips.append(sum(1 << b for b in bits))
+    return flips
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -97,15 +109,18 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Approximate top-k via hyperplane-signature blocking, multi-probe.
 
-    Corpus vectors land in their own bucket; each query probes its bucket
-    PLUS every 1-bit-flip neighbour (n_planes+1 of 2^n buckets) — the
-    standard multi-probe trick: near neighbours that straddle one
-    hyperplane are still found, at probe cost (n+1)/2^n of the corpus.
-    Candidates are re-ranked exactly, so precision is 1; only recall is
-    approximate.
+    Corpus vectors land in their own bucket; each query probes every bucket
+    within Hamming distance ``probe_radius`` of its own — the standard
+    multi-probe trick: near neighbours that straddle ``r`` hyperplanes are
+    still found, at probe cost ``C(n,<=r)/2^n`` of the corpus.  Candidates
+    are re-ranked exactly, so precision is 1; only recall is approximate.
+    ``probe_radius`` is the recall/cost knob: 0 = own bucket only
+    (cheapest, lowest recall), 1 = +n one-bit flips (default), 2 adds
+    C(n,2) two-bit flips (recall → ~1 for near-duplicate workloads).
     """
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
@@ -115,9 +130,7 @@ def lsh_topk(
         F.col(vec_col).alias("c_emb"),
         _signature(F.col(vec_col), planes).alias("sig"),
     )
-    probe_flips = F.array(
-        F.lit(0), *[F.lit(2**b) for b in range(n_planes)]
-    )  # 0 = own bucket
+    probe_flips = F.array(*[F.lit(f) for f in _probe_flips(n_planes, probe_radius)])
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_emb"),

@@ -89,6 +89,26 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     assert recall >= 0.3, f"LSH recall too low: {recall}"
 
 
+def test_lsh_probe_radius_knob_monotone_recall(spark):
+    """probe_radius is the recall/cost knob: recall is monotone in the
+    radius, and radius = n_planes probes every bucket ⇒ exact recall 1."""
+    from gujarati_readability_pagewise_spark.operators.similarity import _probe_flips
+
+    assert _probe_flips(4, 0) == [0]
+    assert sorted(_probe_flips(4, 1)) == [0, 1, 2, 4, 8]
+    assert len(_probe_flips(4, 2)) == 1 + 4 + 6
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact_set = {(r["q_id"], r["c_id"]) for r in brute_force_topk(emb, q, k=3).collect()}
+    recalls = []
+    for r in (0, 1, 4):
+        approx = lsh_topk(emb, q, k=3, n_planes=4, probe_radius=r).collect()
+        got = {(x["q_id"], x["c_id"]) for x in approx}
+        recalls.append(len(exact_set & got) / len(exact_set))
+    assert recalls[0] <= recalls[1] <= recalls[2]
+    assert recalls[2] == 1.0  # full-radius probe == brute force
+
+
 def test_brute_force_topk_is_exact_on_known_vectors(spark):
     pdf = pd.DataFrame(
         {
