@@ -19,6 +19,7 @@ the bucketed input, not an anti-join shuffle.
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Callable
 
@@ -38,6 +39,12 @@ def bucket_expr(url_col: Column, n_buckets: int) -> Column:
 
 
 def read_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
+    # Probe the filesystem first: a fresh job has no manifest yet, and
+    # letting the parquet reader discover that logs a scary (but benign)
+    # path-not-found WARN on every cold start.  The try remains for
+    # non-local filesystems where os.path can't see the dir.
+    if "://" not in manifest_dir and not os.path.isdir(manifest_dir):
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
     try:
         return spark.read.schema(MANIFEST_SCHEMA).parquet(manifest_dir)
     except Exception:
