@@ -409,6 +409,140 @@ def q_tpch_q6(spark, sf):
     )
 
 
+def q_tpch_q4(spark, sf):
+    """Q4 shape: EXISTS semi-join with a correlated inequality, count by group."""
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = load_table(spark, sf, "lineitem")
+    sem = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        sem.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q12(spark, sf):
+    """Q12 shape: join + CASE-sum two-way priority classification."""
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_tpch_q14(spark, sf):
+    """Q14 shape: conditional-aggregate ratio (promo revenue share).
+
+    The ratio divides two ROUNDED sums (bit-stable across engines) and is
+    published via floor-scaling, never round() — oracle-parity rule for
+    values that can land on a .5 boundary.
+    """
+    part = load_table(spark, sf, "part")
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(part, li["l_partkey"] == part["p_partkey"]).agg(
+        _r(F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0)), 2).alias(
+            "promo_rev"
+        ),
+        _r(F.sum(rev), 2).alias("total_rev"),
+    )
+    return j.select(
+        "promo_rev",
+        "total_rev",
+        (
+            F.floor(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev") * 1e4) / 1e4
+        ).alias("promo_share_pct"),
+    )
+
+
+def q_tpch_q16(spark, sf):
+    """Q16 shape: distinct-count per group with a NOT-IN (anti) supplier filter."""
+    part = load_table(spark, sf, "part").filter(F.col("p_brand") != F.lit("Brand#1"))
+    li = load_table(spark, sf, "lineitem")
+    bad = load_table(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(bad, "l_suppkey", "left_anti")
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+        .limit(20)
+    )
+
+
+def q_tpch_q18(spark, sf):
+    """Q18 shape: HAVING over a big join-back (large-volume orders)."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)  # l_quantity is integral → exact sums
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            _r(F.col("o_totalprice"), 2).alias("totalprice"),
+            _r(F.col("sum_qty"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q22(spark, sf):
+    """Q22 shape: scalar-avg subquery + anti join (rich, recently inactive)."""
+    cust = load_table(spark, sf, "customer")
+    recent = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.join(recent, "c_custkey", "left_anti")
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            _r(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def q_sessionization(spark, sf):
     """Gap-based sessionization: lag + cumulative session counter per user."""
     ev = load_table(spark, sf, "events")
@@ -914,6 +1048,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q22": q_tpch_q22,
         "sessionization": q_sessionization,
         "pivot_counts": q_pivot_counts,
         "dedup_exact": q_dedup_exact,
@@ -1130,6 +1270,71 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "tpch_q12": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "tpch_q14": """
+            WITH s AS (
+              SELECT round(sum(CASE WHEN p_type = 'ECONOMY'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0.0 END), 2) AS promo_rev,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+            )
+            SELECT promo_rev, total_rev,
+                   floor(100.0 * promo_rev / total_rev * 10000) / 10000
+                     AS promo_share_pct
+            FROM s
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+            LIMIT 20
+        """,
+        "tpch_q18": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   round(o_totalprice, 2) AS totalprice,
+                   round(sum_qty, 2) AS sum_qty
+            FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big
+            JOIN orders ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "tpch_q22": """
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+            GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         "sessionization": """
             WITH g AS (
