@@ -981,6 +981,44 @@ def q_text_fingerprint(spark, sf):
     )
 
 
+def q_text_top_bigrams(spark, sf):
+    """Vocabulary building: corpus-wide top-25 token bigrams.
+
+    The shape every tokenizer-training pipeline runs at 100 TB: narrow
+    map (split+pair, no UDF) → explode → partial-agg count → top-k.  Ties
+    broken lexically for determinism.
+    """
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        F.split(F.trim(F.col("text")), r"\s+").alias("arr")
+    ).filter(F.size("arr") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(arr)-2), i -> concat(arr[i], ' ', arr[i+1]))")
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(25)
+    )
+
+
+def q_text_length_histogram(spark, sf):
+    """Corpus length profile: 500-char buckets with counts + mass share."""
+    docs = load_table(spark, sf, "documents")
+    b = F.floor(F.col("n_chars") / F.lit(500.0)).cast("int").alias("bucket")
+    return (
+        docs.groupBy(b)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_similarity_lsh_topk(spark, sf):
     """Hyperplane-LSH approximate top-3 (rows-only; recall vs brute force
     is pinned in tests/test_dedup_similarity.py)."""
@@ -1081,6 +1119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_quality_score": q_text_quality_score,
         "text_fingerprint": q_text_fingerprint,
+        "text_top_bigrams": q_text_top_bigrams,
+        "text_length_histogram": q_text_length_histogram,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "pipeline_extract": q_pipeline_extract,
         "pipeline_score_summary": q_pipeline_score_summary,
@@ -1655,6 +1695,26 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": """
             SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
             FROM documents ORDER BY doc_id
+        """,
+        "text_top_bigrams": """
+            WITH toks AS (
+              SELECT regexp_split_to_array(trim(text), '\\s+') AS arr
+              FROM documents
+              WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2
+            ),
+            bigrams AS (
+              SELECT unnest(list_transform(range(1, len(arr)),
+                                           i -> arr[i] || ' ' || arr[i + 1])) AS bigram
+              FROM toks
+            )
+            SELECT bigram, count(*) AS n FROM bigrams
+            GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 25
+        """,
+        "text_length_histogram": """
+            SELECT CAST(floor(n_chars / 500.0) AS INT) AS bucket,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY bucket ORDER BY bucket
         """,
         "similarity_topk": """
             WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
