@@ -55,3 +55,25 @@ def test_features_batch_equals_scalar(texts):
     X = compute_features(pd.Series(texts, dtype="object"))
     for i, t in enumerate(texts):
         np.testing.assert_array_equal(X[i], compute_features_one(t))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=2048))
+def test_segment_lowercase_fastpath_equals_slow_path(body):
+    """The case-sensitive regex twins taken when ``s.islower()`` must segment
+    exactly like the IGNORECASE path on such input (modulo sre's non-ASCII
+    'equivalence' folds, which islower-gating plus this test pin down)."""
+    import unicodedata
+
+    from gujarati_readability_pagewise_spark.functions.extract import _segment
+
+    html = unicodedata.normalize(
+        "NFC", f"<html><body><p>{body.lower()}</p><div>more {body.lower()}</div>"
+    )
+    if not html.islower():
+        return  # lower() of exotic chars can stay uncased; fast path not taken
+    # exclude sre's IGNORECASE equivalence chars, where the CI path itself
+    # deviates from HTML5's ascii-only tag folding (ſ→s, ı→i, µ→μ, …)
+    if any(c in html for c in "ſıµž"):
+        return
+    assert _segment(html, lower=True) == _segment(html, lower=False)
