@@ -1035,6 +1035,21 @@ def q_similarity_lsh_topk(spark, sf):
 
 # -- pipeline operators (Python kernels — rows-only checks) -----------------
 
+def q_layout_spans(spark, sf):
+    """Payload-kind dispatch + ordered-span parse (north_star PDF/layout
+    clause).  Rows-only: the parser is the Python golden kernel."""
+    from gujarati_readability_pagewise_spark.functions.layout import (
+        with_layout_spans,
+    )
+
+    pages = pages_from_documents(spark, sf).limit(300)
+    return (
+        with_layout_spans(pages)
+        .select("url", "kind", "n_spans")
+        .orderBy("url")
+    )
+
+
 def q_pipeline_extract(spark, sf):
     from gujarati_readability_pagewise_spark.operators.udfs import with_extraction
 
@@ -1122,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_bigrams": q_text_top_bigrams,
         "text_length_histogram": q_text_length_histogram,
         "similarity_lsh_topk": q_similarity_lsh_topk,
+        "layout_spans": q_layout_spans,
         "pipeline_extract": q_pipeline_extract,
         "pipeline_score_summary": q_pipeline_score_summary,
     }
