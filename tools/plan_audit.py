@@ -1,0 +1,79 @@
+"""Physical-plan audit: sweep every contract query for scale antipatterns.
+
+Run:  python tools/plan_audit.py [sf_dir] [query ...]
+
+For each `__spark_entry__.queries()` entry this prints a one-line verdict
+and flags:
+
+* ``CARTESIAN``   — CartesianProduct / BroadcastNestedLoopJoin on non-tiny
+  inputs (intentional for scalar-subquery broadcasts; flagged for review).
+* ``PY_ROW_UDF``  — row-at-a-time BatchEvalPython in the plan (the input
+  mandate is Arrow-vectorized only; ArrowEvalPython / MapInPandas are OK).
+* ``NO_PUSHDOWN`` — a parquet scan whose query filters produced no
+  PushedFilters entry.
+* ``SINGLE_PART`` — an Exchange SinglePartition outside a global aggregate
+  / LIMIT collect (a scale chokepoint if it carries the full table).
+
+Exit code 1 if any query trips PY_ROW_UDF (hard fail); other flags are
+informational (some are correct by design — e.g. the tiny scalar-average
+broadcast in tpch_q22).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def audit(plan: str) -> list[str]:
+    flags = []
+    if "CartesianProduct" in plan:
+        flags.append("CARTESIAN")
+    if "BroadcastNestedLoopJoin" in plan:
+        flags.append("BNL_JOIN")
+    if re.search(r"BatchEvalPython", plan):
+        flags.append("PY_ROW_UDF")
+    if "Exchange SinglePartition" in plan:
+        flags.append("SINGLE_PART")
+    # every FileScan carrying DataFilters should push at least one of them
+    for scan in re.finditer(r"FileScan parquet [^\n]*", plan):
+        s = scan.group(0)
+        if "DataFilters: [" in s and "DataFilters: []" not in s:
+            if "PushedFilters: []" in s:
+                flags.append("NO_PUSHDOWN")
+                break
+    return flags
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as m
+    from gujarati_readability_pagewise_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-audit", master="local[8]")
+    hard_fail = False
+    for name, fn in m.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR {name}: {e}")
+            hard_fail = True
+            continue
+        flags = audit(plan)
+        if "PY_ROW_UDF" in flags:
+            hard_fail = True
+        print(f"{'FLAG' if flags else 'ok  '} {name}: {','.join(flags) or 'clean'}")
+    spark.stop()
+    return 1 if hard_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
