@@ -107,18 +107,24 @@ def _decode_entity(m: re.Match) -> str:
     return e  # unknown named entity: keep literal (deterministic)
 
 
-def _clean_text(raw: str) -> str:
-    """Strip residual tags, decode entities, collapse whitespace.
+def _clean_words(raw: str) -> list[str]:
+    """Strip residual tags, decode entities, return the whitespace tokens.
 
     The guards are pure fast-paths: a block with no ``<`` has no tags and a
     block with no ``&`` has no entities, so skipping the regex pass there
-    cannot change the output.  Whitespace collapse = ``" ".join(s.split())``
-    (C loop; treats all unicode whitespace incl. NBSP uniformly).
+    cannot change the output.  Whitespace collapse is ``s.split()`` (C
+    loop; treats all unicode whitespace incl. NBSP uniformly); callers
+    join with single spaces.  Returning the token list lets the segmenter
+    count words without re-splitting the joined text.
     """
     s = _RE_TAG.sub(" ", raw) if "<" in raw else raw
     if "&" in s:
         s = _RE_ENTITY.sub(_decode_entity, s)
-    return " ".join(s.split())
+    return s.split()
+
+
+def _clean_text(raw: str) -> str:
+    return " ".join(_clean_words(raw))
 
 
 class _Block(NamedTuple):
@@ -150,11 +156,12 @@ def _segment(html: str, lower: bool = False) -> list[_Block]:
         link_words = 0
         if "<a" in raw or (not lower and "<A" in raw):
             for m in anchor.finditer(raw):
-                link_words += len(_clean_text(m.group(1)).split())
-        text = _clean_text(raw)
-        if not text:
+                link_words += len(_clean_words(m.group(1)))
+        words = _clean_words(raw)
+        if not words:
             continue
-        n_words = len(text.split())
+        text = " ".join(words)
+        n_words = len(words)
         ld = (link_words / n_words) if n_words else 1.0
         blocks.append(_Block(text, n_words, min(ld, 1.0)))
     return blocks
