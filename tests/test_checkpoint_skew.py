@@ -142,3 +142,42 @@ def test_salting_actually_spreads_the_hot_key(spark, pages_df):
     spread = max_partition_rows(salted) / n
     assert hot > 0.25, f"fixture lost its hot host ({hot})"
     assert spread < 0.15, f"salting failed to spread ({spread})"
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """north_rule: AQE skew-join handling. With skew thresholds scaled to
+    test size, the final adaptive plan must mark the join skew=true —
+    i.e. Spark split the hot key's shuffle partition at runtime."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 100000).select(
+            F.when(F.col("id") < 95000, F.lit(0))
+            .otherwise(F.col("id") % 50)
+            .alias("k"),
+            F.concat(
+                F.lit("payloadpayloadpayloadpayloadpayload-"),
+                F.col("id").cast("string"),
+            ).alias("v"),
+        )
+        right = spark.range(0, 50).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 100000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
