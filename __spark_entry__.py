@@ -1035,6 +1035,26 @@ def q_similarity_lsh_topk(spark, sf):
 
 # -- pipeline operators (Python kernels — rows-only checks) -----------------
 
+def q_asof_join(spark, sf):
+    """Backward as-of join (events ⟕ latest order at-or-before event ts) —
+    custom operator Spark lacks, composed as union + window fill; oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from gujarati_readability_pagewise_spark.operators.asof import (
+        asof_join,
+        dedupe_latest,
+    )
+
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 40)
+    orders = dedupe_latest(
+        load_table(spark, sf, "orders"), "o_custkey", "o_orderdate", "o_orderkey"
+    ).withColumnRenamed("o_custkey", "user_id")
+    return (
+        asof_join(ev, orders, "user_id", "ts", "o_orderdate", ["o_orderkey"])
+        .select("event_id", "user_id", "matched_ts", "o_orderkey")
+        .orderBy("event_id")
+    )
+
+
 def q_layout_spans(spark, sf):
     """Payload-kind dispatch + ordered-span parse (north_star PDF/layout
     clause).  Rows-only: the parser is the Python golden kernel."""
@@ -1137,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_bigrams": q_text_top_bigrams,
         "text_length_histogram": q_text_length_histogram,
         "similarity_lsh_topk": q_similarity_lsh_topk,
+        "asof_join": q_asof_join,
         "layout_spans": q_layout_spans,
         "pipeline_extract": q_pipeline_extract,
         "pipeline_score_summary": q_pipeline_score_summary,
@@ -1725,6 +1746,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT bigram, count(*) AS n FROM bigrams
             GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 25
+        """,
+        "asof_join": """
+            WITH r AS (
+              SELECT o_custkey AS user_id, o_orderdate, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                        ORDER BY o_orderkey DESC) AS rn
+              FROM orders
+            ), r1 AS (SELECT user_id, o_orderdate, o_orderkey FROM r WHERE rn = 1)
+            SELECT e.event_id, e.user_id,
+                   r1.o_orderdate AS matched_ts, r1.o_orderkey
+            FROM events e
+            ASOF LEFT JOIN r1
+              ON e.user_id = r1.user_id AND e.ts >= r1.o_orderdate
+            WHERE e.user_id < 40
+            ORDER BY e.event_id
         """,
         "text_length_histogram": """
             SELECT CAST(floor(n_chars / 500.0) AS INT) AS bucket,

@@ -1,0 +1,90 @@
+"""As-of join: known-answer cases + brute-force equivalence on testdata."""
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from gujarati_readability_pagewise_spark.operators.asof import (
+    asof_join,
+    dedupe_latest,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_known_answers(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2],
+                "ts": [_ts("2024-01-05"), _ts("2024-01-10"), _ts("2024-01-01"), _ts("2024-01-05")],
+                "ev": ["a", "b", "before-any", "no-right-rows"],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1],
+                "rts": [_ts("2024-01-05"), _ts("2024-01-08")],
+                "price": [10.0, 20.0],
+            }
+        )
+    )
+    out = {
+        r["ev"]: r
+        for r in asof_join(left, right, "k", "ts", "rts", ["price"]).collect()
+    }
+    # equal timestamps are INCLUSIVE (right sorts before left)
+    assert out["a"]["price"] == 10.0 and out["a"]["matched_ts"] == _ts("2024-01-05")
+    # latest at-or-before wins
+    assert out["b"]["price"] == 20.0 and out["b"]["matched_ts"] == _ts("2024-01-08")
+    # left row before any right row → nulls
+    assert out["before-any"]["price"] is None and out["before-any"]["matched_ts"] is None
+    # key with no right rows at all → nulls
+    assert out["no-right-rows"]["price"] is None
+
+
+def test_dedupe_latest_keeps_max_tiebreak(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 1], "ts": [_ts("2024-01-05")] * 2, "id": [7, 9], "v": [1.0, 2.0]}
+        )
+    )
+    out = dedupe_latest(df, "k", "ts", "id").collect()
+    assert len(out) == 1 and out[0]["id"] == 9
+
+
+def test_asof_equals_brute_force_on_testdata(spark):
+    """events ⟕asof orders must equal the correlated-max brute force."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").filter(
+        F.col("user_id") < 25
+    )
+    orders = dedupe_latest(
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+    ).withColumnRenamed("o_custkey", "user_id")
+    got = (
+        asof_join(ev, orders, "user_id", "ts", "o_orderdate", ["o_orderkey"])
+        .select("event_id", "o_orderkey")
+        .toPandas()
+        .set_index("event_id")["o_orderkey"]
+    )
+    # brute force: per event, max o_orderdate <= ts, then its (deduped) row
+    pairs = (
+        ev.join(orders, "user_id")
+        .filter(F.col("o_orderdate") <= F.col("ts"))
+        .groupBy("event_id")
+        .agg(F.max_by("o_orderkey", F.struct("o_orderdate", "o_orderkey")).alias("o_orderkey"))
+        .toPandas()
+        .set_index("event_id")["o_orderkey"]
+    )
+    assert len(got) == ev.count()
+    joined = got.to_frame("asof").join(pairs.to_frame("brute"), how="left")
+    mism = joined[joined["asof"].fillna(-1) != joined["brute"].fillna(-1)]
+    assert mism.empty, mism.head()
