@@ -875,6 +875,50 @@ def q_dedup_minhash_lsh(spark, sf):
     return lsh_candidate_pairs(sig, "doc_id", bands=4).orderBy("a", "b")
 
 
+def q_url_canonicalize(spark, sf):
+    """URL canonicalization over synthetically-noised urls: mixed-case host,
+    tracking params, unsorted params, fragments — all normalized away so
+    re-crawled spellings collapse to one dedup key."""
+    from gujarati_readability_pagewise_spark.functions.urlnorm import (
+        canonicalize_url,
+    )
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    noisy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.upper(F.col("source")),
+            F.lit(".Example.COM/Doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=feed&b=2&a=1&ref=tw&gclid=xyz#frag"),
+        ).alias("url"),
+    )
+    return noisy.select(
+        "doc_id", canonicalize_url(F.col("url")).alias("canon_url")
+    ).orderBy("doc_id")
+
+
+def q_dedup_components(spark, sf):
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH pairs
+    (pairs → canonical cluster id = min doc_id reachable).  Iterative
+    min-label propagation; oracle is a DuckDB recursive CTE."""
+    from gujarati_readability_pagewise_spark.operators.components import (
+        connected_components,
+    )
+    from gujarati_readability_pagewise_spark.operators.dedup import (
+        char_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    sh = char_shingles(docs, "text", "doc_id", k=5)
+    sig = minhash_signatures(sh, "doc_id", n_hashes=16)
+    pairs = lsh_candidate_pairs(sig, "doc_id", bands=4)
+    return connected_components(pairs).orderBy("doc_id")
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     """Top-10 most-similar doc pairs by exact char-5-gram Jaccard (subset)."""
     from gujarati_readability_pagewise_spark.operators.dedup import (
@@ -1158,6 +1202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_histogram": q_text_length_histogram,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "asof_join": q_asof_join,
+        "dedup_components": q_dedup_components,
+        "url_canonicalize": q_url_canonicalize,
         "layout_spans": q_layout_spans,
         "pipeline_extract": q_pipeline_extract,
         "pipeline_score_summary": q_pipeline_score_summary,
@@ -1568,6 +1614,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.k AS a, b.k AS b
             FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
             WHERE a.k < b.k ORDER BY a, b
+        """,
+        "url_canonicalize": """
+            WITH noisy AS (
+              SELECT doc_id,
+                     'HTTPS://WWW.' || upper(source) || '.Example.COM/Doc/'
+                       || CAST(doc_id AS VARCHAR)
+                       || '?utm_source=feed&b=2&a=1&ref=tw&gclid=xyz#frag' AS url
+              FROM documents WHERE doc_id < 400)
+            SELECT doc_id,
+                   lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 1))
+                   || '://'
+                   || lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 2))
+                   || regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                   || CASE WHEN canon_q = '' THEN '' ELSE '?' || canon_q END
+                     AS canon_url
+            FROM (
+              SELECT doc_id, url,
+                     array_to_string(list_sort(list_filter(
+                       string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                       p -> len(p) > 0
+                            AND NOT starts_with(p, 'utm_')
+                            AND NOT starts_with(p, 'fbclid=')
+                            AND NOT starts_with(p, 'gclid=')
+                            AND NOT starts_with(p, 'ref='))), '&') AS canon_q
+              FROM noisy)
+            ORDER BY doc_id
+        """,
+        "dedup_components": """
+            WITH RECURSIVE shingles AS (
+              SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+              FROM documents, unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS t(i)
+              WHERE length(substr(text, i, 5)) = 5),
+                 sig AS (
+              SELECT doc_id,
+                     [min(('0x' || substr(md5(shingle || '#0'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#1'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#2'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#3'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#4'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#5'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#6'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#7'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#8'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#9'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#10'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#11'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#12'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#13'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#14'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#15'), 1, 15))::BIGINT)] AS sig
+              FROM shingles GROUP BY doc_id),
+                 banded AS (
+              SELECT doc_id AS k, b.band,
+                     md5(array_to_string(sig[b.band*4 + 1 : b.band*4 + 4], ',')) AS bh
+              FROM sig, unnest([0, 1, 2, 3]) AS b(band)),
+                 pairs AS (
+              SELECT DISTINCT a.k AS a, b.k AS b
+              FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+              WHERE a.k < b.k),
+                 edges AS (
+              SELECT a AS src, b AS dst FROM pairs
+              UNION SELECT b, a FROM pairs),
+                 nodes AS (SELECT DISTINCT src AS n FROM edges),
+                 reach(n, m) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src)
+            SELECT n AS doc_id, min(m) AS component
+            FROM reach GROUP BY n ORDER BY doc_id
         """,
         "f1_slug_cascade": r"""
             WITH raw AS (

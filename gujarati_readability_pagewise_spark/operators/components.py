@@ -1,0 +1,70 @@
+"""Connected components over candidate-duplicate pairs: pairs → clusters.
+
+LSH/SimHash emit PAIRS; production dedup needs CLUSTERS — "keep one doc per
+connected component of the near-dup graph".  This is iterative min-label
+propagation (the standard large-scale CC algorithm, a la GraphX/Pregel),
+expressed in DataFrame ops:
+
+* every node starts labeled with its own id;
+* each round, a node's label becomes ``min(own, min(neighbours))``;
+* converged when no label changed — at most ``diameter`` rounds, and the
+  label is then the component's minimum node id (a canonical, deterministic
+  cluster id).
+
+Scale notes: each round is one join + one groupBy on the edge list (both
+key-partitioned — at 10^12 edges pre-bucket by node id to make every round
+co-located); ``localCheckpoint`` cuts the lineage so plans don't grow with
+iterations (use a reliable checkpoint dir on a cluster).  The driver-side
+loop carries only the convergence COUNT, never data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components"]
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(a, b) undirected pairs → (doc_id, component) with component = min
+    reachable node id.  Nodes not present in any pair are not emitted
+    (singletons are their own component by definition)."""
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("n")).distinct().withColumn("label", F.col("n"))
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(labels, edges["dst"] == labels["n"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["n"] == nb_min["src"], "left")
+            .select(
+                labels["n"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("nb_min"), labels["label"])
+                ).alias("label"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("new")
+            .join(labels.alias("old"), "n")
+            .filter(F.col("new.label") != F.col("old.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias("doc_id"), F.col("label").alias("component"))
