@@ -123,7 +123,7 @@ def main() -> None:
     queries: dict[str, float] = {}
 
     # -- scaling runs: N=2 vs 4N=8 cores, pinned; plus unpinned peak -------
-    r2 = _run_worker("local[2]", pages_dir, 2, pin="0-1")
+    r2 = _run_worker("local[2]", pages_dir, 3, pin="0-1")
     r8 = _run_worker("local[8]", pages_dir, 3, pin="0-7")
     r32 = _run_worker(f"local[{CPUS}]", pages_dir, 3, pin=None)
     tput2 = r2["pages"] / r2["sec"]
