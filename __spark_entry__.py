@@ -875,6 +875,35 @@ def q_dedup_minhash_lsh(spark, sf):
     return lsh_candidate_pairs(sig, "doc_id", bands=4).orderBy("a", "b")
 
 
+def q_recrawl_diff(spark, sf):
+    """Re-crawl change detection: per url, compare each fetch's content
+    fingerprint to the previous fetch (lag window), then count changed /
+    unchanged per host — the incremental-crawl shape at 10^12 rows."""
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    fetches = docs.withColumn("fetch", F.explode(F.array(F.lit(0), F.lit(1))))
+    # deterministic synthetic drift: every 3rd doc changes on re-fetch
+    text2 = F.when(
+        (F.col("fetch") == 1) & (F.col("doc_id") % 3 == 0),
+        F.concat(F.col("text"), F.lit(" [updated]")),
+    ).otherwise(F.col("text"))
+    fp = F.md5(text2)
+    w = W.partitionBy("doc_id").orderBy("fetch")
+    diffed = (
+        fetches.select("doc_id", "source", "fetch", fp.alias("fp"))
+        .withColumn("prev_fp", F.lag("fp").over(w))
+        .filter(F.col("fetch") == 1)
+        .withColumn("changed", (F.col("fp") != F.col("prev_fp")).cast("int"))
+    )
+    return (
+        diffed.groupBy("source")
+        .agg(
+            F.sum("changed").alias("n_changed"),
+            F.sum(1 - F.col("changed")).alias("n_unchanged"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_url_canonicalize(spark, sf):
     """URL canonicalization over synthetically-noised urls: mixed-case host,
     tracking params, unsorted params, fragments — all normalized away so
@@ -1204,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "dedup_components": q_dedup_components,
         "url_canonicalize": q_url_canonicalize,
+        "recrawl_diff": q_recrawl_diff,
         "layout_spans": q_layout_spans,
         "pipeline_extract": q_pipeline_extract,
         "pipeline_score_summary": q_pipeline_score_summary,
@@ -1614,6 +1644,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.k AS a, b.k AS b
             FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
             WHERE a.k < b.k ORDER BY a, b
+        """,
+        "recrawl_diff": """
+            WITH fetches AS (
+              SELECT doc_id, source, f.fetch_no,
+                     md5(CASE WHEN f.fetch_no = 1 AND doc_id % 3 = 0
+                              THEN text || ' [updated]' ELSE text END) AS fp
+              FROM documents, (SELECT unnest([0, 1]) AS fetch_no) f
+              WHERE doc_id < 300),
+                 diffed AS (
+              SELECT source,
+                     CASE WHEN fp <> lag(fp) OVER (PARTITION BY doc_id ORDER BY fetch_no)
+                          THEN 1 ELSE 0 END AS changed
+              FROM fetches QUALIFY fetch_no = 1)
+            SELECT source,
+                   CAST(sum(changed) AS BIGINT) AS n_changed,
+                   CAST(sum(1 - changed) AS BIGINT) AS n_unchanged
+            FROM diffed GROUP BY source ORDER BY source
         """,
         "url_canonicalize": """
             WITH noisy AS (
