@@ -1143,6 +1143,43 @@ def q_layout_spans(spark, sf):
     )
 
 
+def q_streaming_windowed_counts(spark, sf):
+    """Structured Streaming surface: watermarked windowed per-host arrival
+    counts over a bounded crawl-feed stream (memory sink, drained with
+    processAllAvailable).  Rows-only: streaming is not SQL-oracle-able."""
+    import tempfile
+
+    from gujarati_readability_pagewise_spark.streaming.ingest import (
+        stream_pages,
+        windowed_host_counts,
+    )
+
+    src = tempfile.mkdtemp(prefix="graft_stream_src_")
+    pages_from_documents(spark, sf).limit(500).write.mode("overwrite").parquet(src)
+    for q in spark.streams.active:
+        if q.name == "graft_stream_win":
+            q.stop()
+    counts = windowed_host_counts(stream_pages(spark, src), window="30 minutes")
+    sq = (
+        counts.writeStream.format("memory")
+        .queryName("graft_stream_win")
+        .outputMode("complete")
+        .start()
+    )
+    sq.processAllAvailable()
+    sq.stop()
+    return (
+        spark.table("graft_stream_win")
+        .select(
+            F.col("win.start").alias("win_start"),
+            "host",
+            "n_pages",
+            "n_bytes",
+        )
+        .orderBy("win_start", "host")
+    )
+
+
 def q_pipeline_extract(spark, sf):
     from gujarati_readability_pagewise_spark.operators.udfs import with_extraction
 
@@ -1235,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "recrawl_diff": q_recrawl_diff,
         "layout_spans": q_layout_spans,
+        "streaming_windowed_counts": q_streaming_windowed_counts,
         "pipeline_extract": q_pipeline_extract,
         "pipeline_score_summary": q_pipeline_score_summary,
     }
