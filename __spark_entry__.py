@@ -1143,6 +1143,17 @@ def q_layout_spans(spark, sf):
     )
 
 
+def q_similarity_ivf_topk(spark, sf):
+    """IVF (k-means inverted-file) ANN top-k — the FAISS-style scale path;
+    rows-only (k-means isn't SQL-expressible).  Exact re-rank on probed
+    cells; test proves n_probe == n_cells ≡ brute force."""
+    from gujarati_readability_pagewise_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, q, k=3, n_cells=16, n_probe=4).orderBy("q_id", "rk")
+
+
 def q_streaming_windowed_counts(spark, sf):
     """Structured Streaming surface: watermarked windowed per-host arrival
     counts over a bounded crawl-feed stream (memory sink, drained with
@@ -1272,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "recrawl_diff": q_recrawl_diff,
         "layout_spans": q_layout_spans,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "pipeline_extract": q_pipeline_extract,
         "pipeline_score_summary": q_pipeline_score_summary,

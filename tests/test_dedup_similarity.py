@@ -126,3 +126,18 @@ def test_brute_force_topk_is_exact_on_known_vectors(spark):
     assert list(out.c_id) == [1, 2, 3]
     assert out.cos_sim.iloc[0] > 0.99 and abs(out.cos_sim.iloc[1]) < 1e-9
     assert out.cos_sim.iloc[2] == -1.0
+
+
+def test_ivf_topk_recall_and_full_probe_exactness(spark):
+    """IVF coarse quantization: n_probe == n_cells probes every inverted
+    list ⇒ identical to brute force; fewer probes trade recall for cost."""
+    from gujarati_readability_pagewise_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact_set = {(r["q_id"], r["c_id"]) for r in brute_force_topk(emb, q, k=3).collect()}
+    full = ivf_topk(emb, q, k=3, n_cells=8, n_probe=8).collect()
+    assert {(r["q_id"], r["c_id"]) for r in full} == exact_set
+    part = ivf_topk(emb, q, k=3, n_cells=8, n_probe=2).collect()
+    recall = len(exact_set & {(r["q_id"], r["c_id"]) for r in part}) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
