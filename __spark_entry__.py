@@ -1729,7 +1729,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (
               SELECT doc_id, url,
                      array_to_string(list_sort(list_filter(
-                       string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                       string_split(regexp_extract(url, '^[^#]*\\?([^#]*)', 1), '&'),
                        p -> len(p) > 0
                             AND NOT starts_with(p, 'utm_')
                             AND NOT starts_with(p, 'fbclid=')

@@ -78,7 +78,6 @@ _RE_ANCHOR = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
 _RE_DROP_CONTENT_CS = re.compile(_RE_DROP_CONTENT.pattern, re.DOTALL)
 _RE_ANCHOR_CS = re.compile(_RE_ANCHOR.pattern, re.DOTALL)
 _RE_TAG = re.compile(r"<[^>]*>")
-_RE_WS = re.compile(r"[ \t\r\n\f\v ]+")
 
 # Fixed, closed entity table — never delegate to a library whose table grows.
 _ENTITIES = {

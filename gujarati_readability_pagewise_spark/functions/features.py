@@ -63,7 +63,10 @@ _DIGIT = re.compile(r"[0-9૦-૯]")
 _GUJ = re.compile(r"[઀-૿]")
 _LETTER = re.compile(r"[^\W\d_]", re.UNICODE)
 _GUJ_LETTER = re.compile(r"[અ-હૐૠૡ]")
-_SPACE = re.compile(r" ")
+# ALL whitespace, not just U+0020: extracted text joins blocks with "\n\n"
+# and words split on every Unicode whitespace, so mean_word_len's
+# non-whitespace numerator must subtract the same class.
+_SPACE = re.compile(r"\s")
 
 # Small closed stopword list (top Gujarati function words + English fillers).
 _STOPWORDS = frozenset(
@@ -90,19 +93,21 @@ def compute_features_one(text: str) -> np.ndarray:
 # engine (the reference's analogue is the batched backbone forward pass).
 
 _BMP = 0x10000
-_TABLE_CACHE: dict[int, np.ndarray] = {}
+# keyed by the pattern OBJECT (default identity hash) — keeping the pattern
+# referenced from the key prevents the id-reuse-after-GC hazard of id() keys
+_TABLE_CACHE: dict["re.Pattern", np.ndarray] = {}
 
 
 def _table(pat: "re.Pattern") -> np.ndarray:
     """BMP membership table for a single-char class regex (cached per process)."""
-    tab = _TABLE_CACHE.get(id(pat))
+    tab = _TABLE_CACHE.get(pat)
     if tab is None:
         tab = np.fromiter(
             (pat.fullmatch(chr(i)) is not None for i in range(_BMP)),
             dtype=bool,
             count=_BMP,
         )
-        _TABLE_CACHE[id(pat)] = tab
+        _TABLE_CACHE[pat] = tab
     return tab
 
 
@@ -111,7 +116,7 @@ _MASK_CACHE: dict[tuple, np.ndarray] = {}
 
 def _mask_table(patterns: dict[str, "re.Pattern"]) -> np.ndarray:
     """All class tables packed into one uint8 bitmask table (bit b = class b)."""
-    key = tuple(id(p) for p in patterns.values())
+    key = tuple(patterns.values())
     tab = _MASK_CACHE.get(key)
     if tab is None:
         assert len(patterns) <= 8

@@ -29,27 +29,35 @@ TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "ref=")
 
 _SCHEME_HOST = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)"
 _PATH = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY = r"\?([^#]*)"
+# the '?' must occur BEFORE any '#': a '?' inside the fragment is fragment
+# content, not a query string
+_QUERY = r"^[^#]*\?([^#]*)"
 
 
 def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute url; non-absolute / malformed inputs
+    (no ``scheme://host``) pass through unchanged rather than collapsing
+    to a shared degenerate key."""
+    from functools import reduce
+
     scheme = F.lower(F.regexp_extract(url, _SCHEME_HOST, 1))
     host = F.lower(F.regexp_extract(url, _SCHEME_HOST, 2))
     path = F.regexp_extract(url, _PATH, 1)
     q = F.regexp_extract(url, _QUERY, 1)
     params = F.filter(
         F.split(q, "&"),
-        lambda p: (F.length(p) > 0)
-        & ~p.startswith("utm_")
-        & ~p.startswith("fbclid=")
-        & ~p.startswith("gclid=")
-        & ~p.startswith("ref="),
+        lambda p: reduce(
+            lambda acc, pref: acc & ~p.startswith(pref),
+            TRACKING_PREFIXES,
+            F.length(p) > 0,
+        ),
     )
     canon_q = F.array_join(F.array_sort(params), "&")
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_q)),
     )
+    return F.when(host == "", url).otherwise(canon)

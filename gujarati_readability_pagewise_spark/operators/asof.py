@@ -52,6 +52,12 @@ def asof_join(
     onto each left row, plus `matched_ts` (the right timestamp that won,
     null when no right row precedes the left row)."""
     lcols = [c for c in left.columns]
+    clash = (set(value_cols) | {"matched_ts"}) & set(lcols)
+    if clash:
+        raise ValueError(
+            f"asof_join output would duplicate left column(s) {sorted(clash)}; "
+            "rename them on one side first"
+        )
     l = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),

@@ -30,11 +30,15 @@ def connected_components(
     pairs: DataFrame,
     a: str = "a",
     b: str = "b",
-    max_iter: int = 30,
+    max_iter: int = 50,
 ) -> DataFrame:
     """(a, b) undirected pairs → (doc_id, component) with component = min
     reachable node id.  Nodes not present in any pair are not emitted
-    (singletons are their own component by definition)."""
+    (singletons are their own component by definition).
+
+    Raises ``RuntimeError`` if labels have not converged after
+    ``max_iter`` rounds (graph diameter > max_iter) — silently returning
+    split components would make dedup keep extra copies."""
     fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -43,6 +47,7 @@ def connected_components(
     labels = (
         edges.select(F.col("src").alias("n")).distinct().withColumn("label", F.col("n"))
     )
+    changed = 0
     for _ in range(max_iter):
         nb_min = (
             edges.join(labels, edges["dst"] == labels["n"])
@@ -67,4 +72,9 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels.select(F.col("n").alias("doc_id"), F.col("label").alias("component"))

@@ -193,7 +193,12 @@ def lsh_topk(
     C(n,2) two-bit flips (recall → ~1 for near-duplicate workloads).
     """
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        row = emb.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                "cannot infer embedding dim from an empty corpus; pass dim="
+            )
+        dim = len(row[0])
     planes = plane_signs(n_planes, dim)
     c = emb.select(
         F.col(id_col).alias("c_id"),
@@ -201,15 +206,19 @@ def lsh_topk(
         _signature(F.col(vec_col), planes).alias("sig"),
     )
     probe_flips = F.array(*[F.lit(f) for f in _probe_flips(n_planes, probe_radius)])
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_emb"),
-        F.explode(
-            F.transform(
-                probe_flips,
-                lambda flip: _signature(F.col(vec_col), planes).bitwiseXOR(flip),
-            )
-        ).alias("sig"),
+    # compute the n_planes-dot-product signature ONCE per query row, then
+    # derive every probe bucket by XOR after the explode — the Generate
+    # node keeps project-collapsing from re-inlining the signature per flip
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_emb"),
+            _signature(F.col(vec_col), planes).alias("_sig"),
+        )
+        .select("q_id", "q_emb", "_sig", F.explode(probe_flips).alias("_flip"))
+        .select(
+            "q_id", "q_emb", F.col("_sig").bitwiseXOR(F.col("_flip")).alias("sig")
+        )
     )
     pairs = (
         q.join(c, "sig")

@@ -88,3 +88,16 @@ def test_asof_equals_brute_force_on_testdata(spark):
     joined = got.to_frame("asof").join(pairs.to_frame("brute"), how="left")
     mism = joined[joined["asof"].fillna(-1) != joined["brute"].fillna(-1)]
     assert mism.empty, mism.head()
+
+
+def test_value_col_name_clash_raises(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "ts": [_ts("2024-01-05")], "price": [1.0]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "rts": [_ts("2024-01-01")], "price": [2.0]})
+    )
+    with pytest.raises(ValueError, match="duplicate left column"):
+        asof_join(left, right, "k", "ts", "rts", ["price"])

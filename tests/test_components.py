@@ -29,3 +29,17 @@ def test_cycle_and_bridge(spark):
     got = _cc(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (7, 8)])
     assert got[4] == 1 and got[1] == 1
     assert got[8] == 7
+
+
+def test_nonconvergence_raises_instead_of_splitting(spark):
+    import pytest
+
+    from gujarati_readability_pagewise_spark.operators.components import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame([(i, i + 1) for i in range(8)], columns=["a", "b"])
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
