@@ -973,15 +973,35 @@ def q_dedup_simhash(spark, sf):
     return simhash(docs, "text", "doc_id", bits=16).orderBy("doc_id")
 
 
+def q_dedup_simhash_pairs(spark, sf):
+    """Near-dup pairs via banded SimHash blocking (4 bands × 4 bits) +
+    exact Hamming verify (bit_count(xor) ≤ 3).
+
+    Pigeonhole: any pair within Hamming distance 3 of a 16-bit fingerprint
+    shares ≥1 of 4 bands, so candidates come from an equi-join on
+    (band, band_val) — never an all-pairs scan — with perfect recall at
+    the ≤3-bit radius.  Fixes simhash_candidates' identical-only blocking."""
+    from gujarati_readability_pagewise_spark.operators.dedup import (
+        simhash,
+        simhash_near_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    fp = simhash(docs, "text", "doc_id", bits=16)
+    return simhash_near_pairs(fp, "doc_id", bits=16, bands=4).orderBy("a", "b")
+
+
 def q_dedup_verified_pairs(spark, sf):
     """Full near-dup pipeline: MinHash-LSH candidates → exact-Jaccard verify.
 
-    The LSH stage prunes the quadratic pair space; only candidates pay the
-    exact shingle-set comparison — the shape that stays near-linear at
-    10^12 docs."""
+    The LSH stage prunes the quadratic pair space BELOW the pair
+    aggregation: `jaccard_on_candidates` semi-joins the shingle stream to
+    the candidate doc-id set and the (a,b,shingle) stream to the candidate
+    pairs before any groupBy, so only candidates pay the exact shingle-set
+    comparison — the shape that stays near-linear at 10^12 docs."""
     from gujarati_readability_pagewise_spark.operators.dedup import (
         char_shingles,
-        jaccard_pairs,
+        jaccard_on_candidates,
         lsh_candidate_pairs,
         minhash_signatures,
     )
@@ -991,7 +1011,7 @@ def q_dedup_verified_pairs(spark, sf):
     cands = lsh_candidate_pairs(
         minhash_signatures(sh, "doc_id", n_hashes=16), "doc_id", bands=4
     )
-    verified = jaccard_pairs(sh, "doc_id").join(cands, ["a", "b"], "left_semi")
+    verified = jaccard_on_candidates(sh, cands, "doc_id")
     return (
         verified.filter(F.col("jaccard") >= 0.5)
         .select("a", "b", "n_common", _r(F.col("jaccard")).alias("jaccard"))
@@ -1270,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_verified_pairs": q_dedup_verified_pairs,
         "dedup_embedding": q_dedup_embedding,
         "text_lang_id": q_text_lang_id,
@@ -1915,6 +1936,44 @@ def oracle_sql() -> dict[str, str]:
             fp=" + ".join(
                 f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16)
             ),
+        ),
+        "dedup_simhash_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id, t.tok,
+                     ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
+              FROM documents,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS t(tok)
+              WHERE doc_id < 200 AND length(t.tok) > 0),
+                 sums AS (
+              SELECT doc_id,
+                     {sum_cols}
+              FROM toks GROUP BY doc_id),
+                 fp AS (
+              SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums),
+                 banded AS (
+              SELECT doc_id, simhash, b.band,
+                     (simhash >> (b.band * 4)) & 15 AS band_val
+              FROM fp, unnest([0, 1, 2, 3]) AS b(band)),
+                 cands AS (
+              SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+                              a.simhash AS fp_a, b.simhash AS fp_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.band_val = b.band_val
+              WHERE a.doc_id < b.doc_id)
+            SELECT a, b, CAST({ham} AS INT) AS hamming
+            FROM cands WHERE {ham} <= 3
+            ORDER BY a, b
+        """.format(
+            sum_cols=",\n                     ".join(
+                f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+                for b in range(16)
+            ),
+            fp=" + ".join(
+                f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16)
+            ),
+            ham="("
+            + " + ".join(f"((xor(fp_a, fp_b) >> {b}) & 1)" for b in range(16))
+            + ")",
         ),
         "text_lang_id": """
             WITH scored AS (

@@ -32,8 +32,11 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "jaccard_pairs",
+    "jaccard_on_candidates",
     "simhash",
+    "simhash_bands",
     "simhash_candidates",
+    "simhash_near_pairs",
 ]
 
 
@@ -167,6 +170,58 @@ def jaccard_pairs(
     )
 
 
+def jaccard_on_candidates(
+    shingles: DataFrame,
+    cands: DataFrame,
+    key_col: str = "doc_id",
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard restricted to LSH candidate pairs — pruning that prunes.
+
+    ``jaccard_pairs`` alone materializes every co-shingled pair before any
+    candidate filter can apply (Catalyst cannot push a semi-join on (a, b)
+    below the pair aggregation).  Here the restriction happens BELOW the
+    aggregation, twice:
+
+    1. both shingle sides are semi-joined to the candidate doc-id set, so
+       docs with no LSH partner never enter the shingle self-join;
+    2. the joined (a, b, shingle) stream is semi-joined to ``cands`` BEFORE
+       the groupBy, so only candidate pairs are ever counted.
+
+    At 10^12 docs the co-shingle space is near-quadratic; this keeps the
+    verify stage O(|candidates| · shingles-per-doc).  Same output contract
+    as ``jaccard_pairs`` filtered to candidates: (a, b, n_common, jaccard).
+    """
+    pair_keys = cands.select("a", "b")
+    cand_keys = (
+        pair_keys.select(F.col("a").alias(key_col))
+        .union(pair_keys.select(F.col("b").alias(key_col)))
+        .distinct()
+    )
+    sh = shingles.join(cand_keys, key_col, "left_semi")
+    sizes = sh.groupBy(key_col).agg(F.count("*").alias("sz"))
+    s1 = sh.select(F.col(key_col).alias("a"), "shingle")
+    s2 = sh.select(F.col(key_col).alias("b"), "shingle")
+    inter = (
+        s1.join(s2, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .join(pair_keys, ["a", "b"], "left_semi")  # prune BEFORE the agg
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col(key_col).alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col(key_col).alias("b"), F.col("sz").alias("sz_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("a", "b", "n_common", "jaccard")
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:
@@ -197,9 +252,83 @@ def simhash(
 
 
 def simhash_candidates(fp: DataFrame, key_col: str = "doc_id") -> DataFrame:
-    """Near-dup candidates: identical simhash fingerprints (block join)."""
+    """Near-dup candidates: identical simhash fingerprints (block join).
+
+    Exact-match blocking only — misses near-dups differing in 1+ bits; use
+    ``simhash_near_pairs`` for Hamming-ball matching at the same join cost.
+    """
     a = fp.select(F.col(key_col).alias("a"), "simhash")
     b = fp.select(F.col(key_col).alias("b"), "simhash")
     return (
         a.join(b, "simhash").filter(F.col("a") < F.col("b")).select("a", "b", "simhash")
+    )
+
+
+def simhash_bands(
+    fp: DataFrame, key_col: str = "doc_id", bits: int = 16, bands: int = 4
+) -> DataFrame:
+    """Explode each fingerprint into (key, simhash, band, band_val) rows.
+
+    Pure bit expressions (shiftright + mask) — the banded row is ~20 bytes,
+    so the candidate equi-join shuffles bands×rows tiny tuples.
+    """
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    w = bits // bands
+    mask = (1 << w) - 1
+    rows = fp.select(
+        key_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    )
+    return rows.select(key_col, "simhash", "bb.band", "bb.band_val")
+
+
+def simhash_near_pairs(
+    fp: DataFrame,
+    key_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs via banded SimHash blocking + exact Hamming verify.
+
+    Pigeonhole guarantee: any pair within Hamming distance < ``bands``
+    shares at least one identical band, so candidate generation is an
+    equi-join on (band, band_val) — never an all-pairs scan — with perfect
+    recall up to ``bands - 1`` differing bits (the default ``max_hamming``).
+    The verify step is one ``bit_count(xor)`` expression on candidates.
+    Returns (a, b, hamming) with a < b.
+    """
+    if max_hamming is None:
+        max_hamming = bands - 1
+    banded = simhash_bands(fp, key_col, bits, bands)
+    a = banded.select(
+        F.col(key_col).alias("a"), F.col("simhash").alias("fp_a"), "band", "band_val"
+    )
+    b = banded.select(
+        F.col(key_col).alias("b"), F.col("simhash").alias("fp_b"), "band", "band_val"
+    )
+    cands = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "fp_a", "fp_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
+    return (
+        cands.select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )

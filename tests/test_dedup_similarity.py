@@ -7,11 +7,13 @@ from pyspark.sql import functions as F
 from gujarati_readability_pagewise_spark.operators.dedup import (
     char_shingles,
     exact_dedup,
+    jaccard_on_candidates,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     simhash,
     simhash_candidates,
+    simhash_near_pairs,
 )
 from gujarati_readability_pagewise_spark.operators.similarity import (
     brute_force_topk,
@@ -69,6 +71,65 @@ def test_simhash_identical_docs_same_fp(spark, docs):
     assert 0 <= fp[0] < 2**16
     cands = {(r["a"], r["b"]) for r in simhash_candidates(simhash(docs, bits=16)).collect()}
     assert (0, 1) in cands
+
+
+def test_jaccard_on_candidates_matches_filtered_exact(spark, docs):
+    """Pruned-plan verify ≡ exhaustive jaccard_pairs restricted to candidates."""
+    sh = char_shingles(docs, k=5)
+    cands = lsh_candidate_pairs(minhash_signatures(sh, n_hashes=16), bands=4)
+    fast = jaccard_on_candidates(sh, cands).orderBy("a", "b").toPandas()
+    slow = (
+        jaccard_pairs(sh)
+        .join(cands, ["a", "b"], "left_semi")
+        .orderBy("a", "b")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_verified_pairs_semi_join_below_aggregation(spark, docs):
+    """The LSH candidate restriction must sit BELOW the pair aggregation
+    (jaccard_on_candidates), not above it (the round-1 scale-killer)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", "/root/repo/tools/plan_audit.py"
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+
+    sh = char_shingles(docs, k=5)
+    cands = lsh_candidate_pairs(minhash_signatures(sh, n_hashes=16), bands=4)
+    good = jaccard_on_candidates(sh, cands)
+    bad = jaccard_pairs(sh).join(cands, ["a", "b"], "left_semi")
+    good_plan = good._jdf.queryExecution().executedPlan().toString()
+    bad_plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert pa.semi_below_pair_agg(good_plan)
+    assert not pa.semi_below_pair_agg(bad_plan)
+
+
+def test_simhash_near_pairs_hamming_ball(spark):
+    """Banded blocking finds every pair within Hamming distance bands-1 and
+    verifies out candidates beyond max_hamming."""
+    fp = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1, 2, 3], "simhash": [0, 0b111, 0x1111, 0b1111]}
+        )
+    )
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_near_pairs(fp, bits=16, bands=4).collect()
+    }
+    assert got[(0, 1)] == 3  # 3 bits in one band → shares 3 bands, kept
+    assert (0, 2) not in got  # 1 bit per band: all 4 bands differ, hamming 4
+    assert (0, 3) not in got  # candidate (shares bands 1-3) but hamming 4 > 3
+    assert got[(1, 3)] == 1
+
+
+def test_simhash_near_pairs_on_planted_docs(spark, docs):
+    pairs = simhash_near_pairs(simhash(docs, bits=16)).toPandas()
+    idx = pairs.set_index(["a", "b"])["hamming"]
+    assert idx[(0, 1)] == 0  # identical docs → identical fingerprints
 
 
 def test_lsh_topk_recall_vs_brute_force(spark):

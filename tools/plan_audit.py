@@ -48,6 +48,31 @@ def audit(plan: str) -> list[str]:
     return flags
 
 
+def _node_depth(line: str) -> int:
+    """Tree depth of a plan line = length of its box-drawing prefix."""
+    m = re.match(r"^[\s:+|-]*", line)
+    return len(m.group(0))
+
+
+def semi_below_pair_agg(plan: str) -> bool:
+    """True iff a LeftSemi join appears INSIDE the subtree of the
+    HashAggregate that produces ``n_common`` — i.e. the LSH candidate
+    restriction prunes below the pair aggregation instead of after it
+    (the difference between near-linear and near-quadratic at 10^12 docs).
+    """
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "HashAggregate" in ln and "n_common" in ln:
+            d = _node_depth(ln)
+            for nxt in lines[i + 1 :]:
+                if nxt.strip() and _node_depth(nxt) <= d:
+                    break  # left the aggregate's subtree
+                if "LeftSemi" in nxt:
+                    return True
+            return False
+    return False
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -68,6 +93,9 @@ def main() -> int:
             hard_fail = True
             continue
         flags = audit(plan)
+        if name == "dedup_verified_pairs" and not semi_below_pair_agg(plan):
+            flags.append("SEMI_ABOVE_AGG")
+            hard_fail = True
         if "PY_ROW_UDF" in flags:
             hard_fail = True
         print(f"{'FLAG' if flags else 'ok  '} {name}: {','.join(flags) or 'clean'}")
