@@ -1233,6 +1233,39 @@ def q_pipeline_score_summary(spark, sf):
     return host_summary(scored, label_col=None).orderBy("host")
 
 
+def q_report_roc_points(spark, sf):
+    """Plot-data sink (K5 data half): the points behind roc_curve.png
+    (reference train_pagewise_xgboost.py:388-405) — per distinct score
+    threshold, cumulative TP/FP and tpr/fpr with pos_label=0 semantics.
+    Labels/scores derive deterministically from events (a5b_auc's mapping)
+    so DuckDB can verify the cumulative-rate math."""
+    from gujarati_readability_pagewise_spark.plans.reports import roc_points
+
+    ev = load_table(spark, sf, "events")
+    scored = ev.select(
+        F.when(F.pmod(F.col("user_id"), F.lit(3)) == 0, 0).otherwise(1).alias("label"),
+        F.col("value").alias("p"),
+    )
+    return roc_points(scored, "label", "p", pos_label=0)
+
+
+def q_report_pred_histogram(spark, sf):
+    """Plot-data sink: per-true-label probability histogram (the data
+    behind prediction_distribution_histograms.png,
+    plot_prediction_distribution_general.py:170-185), 20 bins over [0,1).
+    Probability = frac(value) — deterministic, oracle-checkable."""
+    from gujarati_readability_pagewise_spark.plans.reports import (
+        prediction_histogram,
+    )
+
+    ev = load_table(spark, sf, "events")
+    scored = ev.select(
+        F.when(F.pmod(F.col("user_id"), F.lit(3)) == 0, 0).otherwise(1).alias("label"),
+        (F.col("value") - F.floor(F.col("value"))).alias("p"),
+    )
+    return prediction_histogram(scored, "label", "p", bins=20)
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1308,6 +1341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "pipeline_extract": q_pipeline_extract,
         "pipeline_score_summary": q_pipeline_score_summary,
+        "report_roc_points": q_report_roc_points,
+        "report_pred_histogram": q_report_pred_histogram,
     }
 
 
@@ -1937,6 +1972,46 @@ def oracle_sql() -> dict[str, str]:
                 f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16)
             ),
         ),
+        "report_roc_points": """
+            WITH d AS (
+              SELECT CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS pos,
+                     value AS score
+              FROM events),
+                 agg AS (
+              SELECT score,
+                     CAST(sum(pos) AS BIGINT) AS n_pos,
+                     CAST(sum(1 - pos) AS BIGINT) AS n_neg
+              FROM d GROUP BY score),
+                 cum AS (
+              SELECT score AS threshold,
+                     CAST(sum(n_pos) OVER (ORDER BY score DESC) AS BIGINT) AS cum_tp,
+                     CAST(sum(n_neg) OVER (ORDER BY score DESC) AS BIGINT) AS cum_fp
+              FROM agg),
+                 tot AS (
+              SELECT CAST(sum(pos) AS BIGINT) AS tot_p,
+                     CAST(sum(1 - pos) AS BIGINT) AS tot_n
+              FROM d)
+            SELECT threshold, cum_tp, cum_fp,
+                   cum_tp::DOUBLE / tot_p AS tpr,
+                   cum_fp::DOUBLE / tot_n AS fpr
+            FROM cum, tot ORDER BY threshold DESC
+        """,
+        "report_pred_histogram": """
+            WITH d AS (
+              SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE 1 END AS true_label,
+                     value - floor(value) AS p
+              FROM events),
+                 b AS (
+              SELECT true_label,
+                     least(CAST(floor(p * 20) AS INT), 19) AS bin
+              FROM d)
+            SELECT true_label, bin,
+                   bin / 20.0 AS bin_lo,
+                   (bin + 1) / 20.0 AS bin_hi,
+                   count(*) AS n
+            FROM b GROUP BY true_label, bin
+            ORDER BY true_label, bin
+        """,
         "dedup_simhash_pairs": r"""
             WITH toks AS (
               SELECT doc_id, t.tok,

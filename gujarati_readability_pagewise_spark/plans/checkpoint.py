@@ -23,7 +23,7 @@ import os
 import time
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["bucket_expr", "completed_buckets", "run_checkpointed", "read_manifest"]
@@ -88,28 +88,38 @@ def run_checkpointed(
         result = transform(part)
         if "bucket" not in result.columns:
             result = result.withColumn("bucket", bucket_expr(F.col("url"), n_buckets))
-        # idempotent: overwrite exactly the bucket partitions in `group`
-        result.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
-        stats = (
-            result.groupBy("bucket")
-            .agg(
-                F.count("*").alias("n_rows"),
-                F.sum(F.length("text")).alias("n_text_bytes"),
-                F.sum("n_bytes").alias("n_input_bytes"),
+        # Manifest stats ride the WRITE action via Observation — conditional
+        # aggregates per bucket computed on the rows as they stream to the
+        # sink, so the (expensive) transform kernel runs exactly once per
+        # bucket instead of once for the write + once for a stats re-agg.
+        obs = Observation(f"ckpt_{job_id}_{g}")
+        metrics = []
+        for b in group:
+            is_b = F.col("bucket") == b
+            metrics.append(F.sum(is_b.cast("long")).alias(f"rows_{b}"))
+            metrics.append(
+                F.sum(F.when(is_b, F.length("text")).otherwise(F.lit(0))).alias(f"tb_{b}")
             )
-            .collect()
-        )
+            metrics.append(
+                F.sum(F.when(is_b, F.col("n_bytes")).otherwise(F.lit(0))).alias(f"ib_{b}")
+            )
+        # idempotent: overwrite exactly the bucket partitions in `group`
+        result.observe(obs, *metrics).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(out_dir)
+        vals = obs.get
         wall = time.time() - t0
         rows = [
             (
-                int(s["bucket"]),
-                int(s["n_rows"]),
-                int(s["n_text_bytes"] or 0),
-                int(s["n_input_bytes"] or 0),
+                int(b),
+                int(vals[f"rows_{b}"]),
+                int(vals[f"tb_{b}"] or 0),
+                int(vals[f"ib_{b}"] or 0),
                 float(wall / max(len(group), 1)),
                 job_id,
             )
-            for s in stats
+            for b in group
+            if vals[f"rows_{b}"]  # parity with the old groupBy: only non-empty
         ]
         spark.createDataFrame(
             rows,

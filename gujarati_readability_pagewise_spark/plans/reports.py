@@ -20,10 +20,19 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["write_metrics", "read_metrics", "write_book_report"]
+__all__ = [
+    "write_metrics",
+    "read_metrics",
+    "write_book_report",
+    "roc_points",
+    "prediction_histogram",
+    "prediction_scatter",
+    "cv_results_table",
+    "feature_importance_table",
+]
 
 METRICS_SCHEMA = "job_id string, metric string, value double, created_at timestamp"
 
@@ -82,3 +91,135 @@ def write_book_report(scored: DataFrame, summary: DataFrame, out_dir: str) -> di
         pages_pdf.to_csv(p1, index=False)
         summary_pdf.to_csv(p2, index=False)
         return {"format": "csv", "page_predictions": str(p1), "summary": str(p2)}
+
+
+# -- plot-data sinks (K5 data half) ------------------------------------------
+# The reference renders 4 PNGs per experiment + 3 analysis plots
+# (train_pagewise_xgboost.py:353-464, plot_prediction_distribution_general.py:
+# 97-263).  matplotlib is absent here by design; the faithful engine-side
+# equivalent is the AGGREGATE each plot consumes, written as a tidy
+# DataFrame a notebook can render.  Each is a report-scale aggregate: the
+# heavy work (scoring) is distributed; the output is thousands of rows.
+
+
+def roc_points(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "p_nonreadable",
+    pos_label: int = 0,
+) -> DataFrame:
+    """ROC curve points: (threshold, cum_tp, cum_fp, tpr, fpr).
+
+    sklearn ``roc_curve(y, p, pos_label=0)`` semantics (the reference's
+    non-readable-positive convention, train_pagewise_xgboost.py:388-405):
+    one point per distinct score, prediction positive iff score ≥ threshold.
+    Distributed shape: per-score partial aggregation first (the shuffle
+    carries one row per distinct score), then a cumulative window over the
+    sorted scores and a 1-row broadcast of the class totals — the
+    running-rate form of W4."""
+    d = scored.select(
+        (F.col(label_col) == pos_label).cast("long").alias("pos"),
+        F.col(score_col).cast("double").alias("score"),
+    )
+    agg = d.groupBy("score").agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum(1 - F.col("pos")).alias("n_neg"),
+    )
+    w = W.orderBy(F.desc("score")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = agg.select(
+        F.col("score").alias("threshold"),
+        F.sum("n_pos").over(w).alias("cum_tp"),
+        F.sum("n_neg").over(w).alias("cum_fp"),
+    )
+    totals = F.broadcast(
+        d.agg(F.sum("pos").alias("tot_p"), F.sum(1 - F.col("pos")).alias("tot_n"))
+    )
+    return (
+        cum.crossJoin(totals)  # 1-row scalar broadcast, same as tpch_q22
+        .select(
+            "threshold",
+            "cum_tp",
+            "cum_fp",
+            (F.col("cum_tp") / F.col("tot_p")).alias("tpr"),
+            (F.col("cum_fp") / F.col("tot_n")).alias("fpr"),
+        )
+        .orderBy(F.desc("threshold"))
+    )
+
+
+def prediction_histogram(
+    scored: DataFrame,
+    label_col: str = "label",
+    proba_col: str = "p_nonreadable",
+    bins: int = 20,
+) -> DataFrame:
+    """Per-true-label probability histogram — the data behind
+    prediction_distribution_histograms.png (plot_prediction_distribution_
+    general.py:170-185): 20 equal bins over [0, 1], one count row per
+    (true_label, bin).  One hash aggregation; map-side combinable."""
+    b = F.least(F.floor(F.col(proba_col) * bins).cast("int"), F.lit(bins - 1))
+    return (
+        scored.groupBy(F.col(label_col).alias("true_label"), b.alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "true_label",
+            "bin",
+            (F.col("bin").cast("double") / bins).alias("bin_lo"),
+            ((F.col("bin") + 1).cast("double") / bins).alias("bin_hi"),
+            "n",
+        )
+        .orderBy("true_label", "bin")
+    )
+
+
+def prediction_scatter(
+    scored: DataFrame,
+    label_col: str = "label",
+    proba_col: str = "p_nonreadable",
+    seed: int = 42,
+) -> DataFrame:
+    """F6: the jittered scatter points behind the predictions-vs-labels
+    plot (plot_prediction_distribution_general.py:125-126): x = label +
+    N(0, 0.05), y = proba + N(0, 0.02).  Seeded ``randn`` — deterministic
+    per partition layout, pure expression."""
+    return scored.select(
+        F.col(label_col).alias("true_label"),
+        (F.col(label_col) + F.randn(seed) * 0.05).alias("x_jitter"),
+        (F.col(proba_col) + F.randn(seed + 1) * 0.02).alias("y_jitter"),
+    )
+
+
+def cv_results_table(spark: SparkSession, results: list[dict]) -> DataFrame:
+    """Grid-search CV results as a tidy table — the data behind
+    hyperparameter_search.png (train_pagewise_xgboost.py:407-456): one row
+    per parameter combination with its mean CV score.  Driver-side by
+    design (the grid is tiny); only the folds' training was distributed."""
+    score_keys = [k for k in results[0] if k.startswith("mean_")]
+    score_key = score_keys[0]
+    rows = [
+        (
+            i,
+            "; ".join(f"{k}={r[k]}" for k in sorted(r) if not k.startswith("mean_")),
+            float(r[score_key]),
+        )
+        for i, r in enumerate(results)
+    ]
+    return spark.createDataFrame(
+        rows, "combo_idx int, params string, mean_score double"
+    )
+
+
+def feature_importance_table(spark: SparkSession, model) -> DataFrame:
+    """Feature importances as a tidy table — the data behind
+    feature_importance.png (train_pagewise_xgboost.py:363-370).  ``model``
+    is the numpy RandomForest (A8 split-count importances)."""
+    from ..functions.features import FEATURE_NAMES
+
+    imps = model.feature_importances_()
+    rows = [
+        (i, FEATURE_NAMES[i] if i < len(FEATURE_NAMES) else f"f{i}", float(v))
+        for i, v in enumerate(imps)
+    ]
+    return spark.createDataFrame(
+        rows, "feature_idx int, feature string, importance double"
+    ).orderBy(F.desc("importance"), F.asc("feature_idx"))

@@ -2,6 +2,7 @@
 
 import shutil
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -65,6 +66,39 @@ def test_rerun_of_completed_job_is_noop(spark, pages_df, dirs):
     out, man = dirs
     run_checkpointed(pages_df, _transform, out, man, n_buckets=4, job_id="t3")
     assert run_checkpointed(pages_df, _transform, out, man, n_buckets=4, job_id="t3b") == 0
+
+
+def test_transform_kernel_runs_once_per_row(spark, pages_df, dirs):
+    """Manifest stats must ride the write action (Observation), not re-run
+    the transform: the kernel sees each input row exactly once."""
+    out, man = dirs
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_transform(df):
+        def kernel(it):
+            for pdf in it:
+                acc.add(len(pdf))
+                yield pd.DataFrame(
+                    {
+                        "url": pdf["url"],
+                        "text": pdf["url"],
+                        "n_bytes": pdf["html"].map(len).astype("int64"),
+                    }
+                )
+
+        return df.mapInPandas(kernel, "url string, text string, n_bytes bigint")
+
+    n_rows = pages_df.count()
+    run_checkpointed(
+        pages_df, count_transform, out, man,
+        n_buckets=8, buckets_per_job=4, job_id="once",
+    )
+    assert acc.value == n_rows, (
+        f"kernel saw {acc.value} rows for {n_rows} inputs (double-compute)"
+    )
+    m = read_manifest(spark, man).toPandas()
+    assert m.n_rows.sum() == n_rows
+    assert (m.n_text_bytes > 0).all() and (m.n_input_bytes > 0).all()
 
 
 def test_heavy_hitter_detected(spark, pages_df):
