@@ -1114,15 +1114,50 @@ def q_text_length_histogram(spark, sf):
 
 def q_similarity_lsh_topk(spark, sf):
     """Hyperplane-LSH approximate top-3 (rows-only; recall vs brute force
-    is pinned in tests/test_dedup_similarity.py)."""
+    is pinned in tests/test_dedup_similarity.py and oracle-checked by
+    similarity_lsh_recall).  dim is passed explicitly — no driver-side
+    .first() probe in the operator's hot path."""
     from gujarati_readability_pagewise_spark.operators.similarity import lsh_topk
 
     emb = load_table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     return (
-        lsh_topk(emb, q, k=3, n_planes=4)
+        lsh_topk(emb, q, k=3, n_planes=4, dim=64)
         .select("q_id", "c_id", _r(F.col("cos_sim")).alias("cos_sim"), "rk")
         .orderBy("q_id", "rk")
+    )
+
+
+def q_similarity_lsh_recall(spark, sf):
+    """Per-query recall@3 of multi-probe hyperplane LSH (4 planes, probe
+    radius 2) vs exact brute force — the LSH recall guarantee as an
+    oracle-checked contract row.  Both sides are fully deterministic: the
+    hyperplanes are md5-parity constants (operators/similarity.plane_signs),
+    inlined into the DuckDB oracle as literals, which re-derives the
+    signatures, the probe Hamming ball, the exact re-rank, and the recall."""
+    from gujarati_readability_pagewise_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    lsh = lsh_topk(emb, q, k=3, n_planes=4, dim=64, probe_radius=2).select(
+        "q_id", "c_id"
+    )
+    bf = brute_force_topk(emb, q, k=3).select("q_id", "c_id")
+    hits = lsh.join(bf, ["q_id", "c_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hit")
+    )
+    return (
+        q.select(F.col("vec_id").alias("q_id"))
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .withColumn("recall_at_3", F.col("n_hit") / F.lit(3.0))
+        .orderBy("q_id")
     )
 
 
@@ -1266,6 +1301,73 @@ def q_report_pred_histogram(spark, sf):
     return prediction_histogram(scored, "label", "p", bins=20)
 
 
+def _lsh_recall_oracle() -> str:
+    """DuckDB oracle for similarity_lsh_recall: re-derives the hyperplane
+    signatures (planes inlined as literals — they are md5-parity constants
+    of the algorithm, operators/similarity.plane_signs), the radius-2 probe
+    Hamming ball, the exact cosine re-rank, the brute-force top-3, and the
+    per-query recall."""
+    from itertools import combinations
+
+    from gujarati_readability_pagewise_spark.operators.similarity import plane_signs
+
+    planes = plane_signs(4, 64)
+    sig_expr = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(f"{v:.1f}" for v in row)
+        + f"]) > 0 THEN {1 << b} ELSE 0 END)"
+        for b, row in enumerate(planes)
+    )
+    masks = [0] + [
+        sum(1 << i for i in bits)
+        for r in (1, 2)
+        for bits in combinations(range(4), r)
+    ]
+    cos = (
+        "list_dot_product(a.embedding, b.embedding)"
+        " / (sqrt(list_dot_product(a.embedding, a.embedding))"
+        " * sqrt(list_dot_product(b.embedding, b.embedding)))"
+    )
+    return f"""
+        WITH sig AS (
+          SELECT vec_id, CAST({sig_expr} AS INT) AS sig FROM embeddings),
+             probes AS (
+          SELECT s.vec_id AS q_id, xor(s.sig, f.flip) AS psig
+          FROM sig s, unnest([{", ".join(map(str, masks))}]) f(flip)
+          WHERE s.vec_id < 5),
+             cands AS (
+          SELECT DISTINCT p.q_id, c.vec_id AS c_id
+          FROM probes p JOIN sig c ON c.sig = p.psig
+          WHERE c.vec_id != p.q_id),
+             scored AS (
+          SELECT cd.q_id, cd.c_id, {cos} AS cos
+          FROM cands cd
+          JOIN embeddings a ON a.vec_id = cd.q_id
+          JOIN embeddings b ON b.vec_id = cd.c_id),
+             lsh3 AS (
+          SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, c_id ASC) AS rk
+            FROM scored) WHERE rk <= 3),
+             bf AS (
+          SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+                 row_number() OVER (PARTITION BY a.vec_id
+                                    ORDER BY {cos} DESC, b.vec_id ASC) AS rk
+          FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+          WHERE a.vec_id < 5),
+             bf3 AS (SELECT q_id, c_id FROM bf WHERE rk <= 3),
+             hits AS (
+          SELECT l.q_id, count(*) AS n_hit
+          FROM lsh3 l JOIN bf3 USING (q_id, c_id) GROUP BY l.q_id)
+        SELECT q.vec_id AS q_id,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+               coalesce(h.n_hit, 0) / 3.0 AS recall_at_3
+        FROM embeddings q LEFT JOIN hits h ON h.q_id = q.vec_id
+        WHERE q.vec_id < 5 ORDER BY q_id
+    """
+
+
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1332,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_bigrams": q_text_top_bigrams,
         "text_length_histogram": q_text_length_histogram,
         "similarity_lsh_topk": q_similarity_lsh_topk,
+        "similarity_lsh_recall": q_similarity_lsh_recall,
         "asof_join": q_asof_join,
         "dedup_components": q_dedup_components,
         "url_canonicalize": q_url_canonicalize,
@@ -1972,6 +2075,7 @@ def oracle_sql() -> dict[str, str]:
                 f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16)
             ),
         ),
+        "similarity_lsh_recall": _lsh_recall_oracle(),
         "report_roc_points": """
             WITH d AS (
               SELECT CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS pos,

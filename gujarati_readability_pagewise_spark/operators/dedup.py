@@ -129,6 +129,10 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("k", "bb.band", "bb.bh")
+    # The banded table is tiny (bands × rows, ~40 B/row) but its lineage is
+    # the whole shingle+minhash pipeline; persist it so the self-join's two
+    # sides don't each recompute 16 md5 min-aggregations over the corpus.
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -180,19 +184,21 @@ def jaccard_on_candidates(
 
     ``jaccard_pairs`` alone materializes every co-shingled pair before any
     candidate filter can apply (Catalyst cannot push a semi-join on (a, b)
-    below the pair aggregation).  Here the restriction happens BELOW the
-    aggregation, twice:
+    below the pair aggregation).  Here the candidate pairs DRIVE the join:
 
-    1. both shingle sides are semi-joined to the candidate doc-id set, so
-       docs with no LSH partner never enter the shingle self-join;
-    2. the joined (a, b, shingle) stream is semi-joined to ``cands`` BEFORE
-       the groupBy, so only candidate pairs are ever counted.
+        cands ⋈ shingles(a-side) ⋈ shingles(b-side on (b, shingle))
 
-    At 10^12 docs the co-shingle space is near-quadratic; this keeps the
-    verify stage O(|candidates| · shingles-per-doc).  Same output contract
-    as ``jaccard_pairs`` filtered to candidates: (a, b, n_common, jaccard).
+    so the rows streamed are O(|cands| · shingles-per-doc) — independent of
+    global shingle frequency.  A shingle-keyed self-join (even semi-pruned
+    before the groupBy) still streams Σ_s m_s² rows for every shingle held
+    by m_s docs, which a common 5-gram turns quadratic at 10^12 docs; the
+    pair-driven form never enumerates a non-candidate pair at all.
+    ``cands`` is persisted: it is the small LSH output reused by the
+    intersect join and both sides of the size restriction.  Same output
+    contract as ``jaccard_pairs`` filtered to candidates:
+    (a, b, n_common, jaccard).
     """
-    pair_keys = cands.select("a", "b")
+    pair_keys = cands.select("a", "b").persist()
     cand_keys = (
         pair_keys.select(F.col("a").alias(key_col))
         .union(pair_keys.select(F.col("b").alias(key_col)))
@@ -200,12 +206,11 @@ def jaccard_on_candidates(
     )
     sh = shingles.join(cand_keys, key_col, "left_semi")
     sizes = sh.groupBy(key_col).agg(F.count("*").alias("sz"))
-    s1 = sh.select(F.col(key_col).alias("a"), "shingle")
-    s2 = sh.select(F.col(key_col).alias("b"), "shingle")
+    s1 = shingles.select(F.col(key_col).alias("a"), "shingle")
+    s2 = shingles.select(F.col(key_col).alias("b"), "shingle")
     inter = (
-        s1.join(s2, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .join(pair_keys, ["a", "b"], "left_semi")  # prune BEFORE the agg
+        pair_keys.join(s1, "a")  # expand each candidate pair by a's shingles
+        .join(s2, ["b", "shingle"])  # keep only shingles present in b too
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_common"))
     )

@@ -55,11 +55,21 @@ def _node_depth(line: str) -> int:
 
 
 def semi_below_pair_agg(plan: str) -> bool:
-    """True iff a LeftSemi join appears INSIDE the subtree of the
-    HashAggregate that produces ``n_common`` — i.e. the LSH candidate
-    restriction prunes below the pair aggregation instead of after it
-    (the difference between near-linear and near-quadratic at 10^12 docs).
+    """True iff the LSH candidate restriction sits INSIDE the subtree of
+    the HashAggregate that produces ``n_common`` — i.e. candidates prune
+    below the pair aggregation instead of after it (the difference between
+    near-linear and near-quadratic at 10^12 docs).  Accepted evidence,
+    either shape:
+
+    * a LeftSemi join under the aggregate (pair/key semi-restriction), or
+    * a join keyed on the candidate pair's ``a`` column (the pair-driven
+      form: cands ⋈ shingles(a) ⋈ shingles(b, shingle), which never
+      enumerates non-candidate pairs at all).
+
+    A plain shingle-keyed self-join under the aggregate (round-1 shape)
+    matches neither and fails.
     """
+    cand_join = re.compile(r"Join (?:\w+ )*\[a#\d+")
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
         if "HashAggregate" in ln and "n_common" in ln:
@@ -67,7 +77,7 @@ def semi_below_pair_agg(plan: str) -> bool:
             for nxt in lines[i + 1 :]:
                 if nxt.strip() and _node_depth(nxt) <= d:
                     break  # left the aggregate's subtree
-                if "LeftSemi" in nxt:
+                if "LeftSemi" in nxt or cand_join.search(nxt):
                     return True
             return False
     return False
