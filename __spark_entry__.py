@@ -1301,6 +1301,37 @@ def q_report_pred_histogram(spark, sf):
     return prediction_histogram(scored, "label", "p", bins=20)
 
 
+def q_dedup_embedding_lsh(spark, sf):
+    """Embedding near-dup at the SCALE shape (vs dedup_embedding's bounded
+    brute-force baseline): banded hyperplane-LSH blocking (8 planes, 2
+    bands, OR-amplified) generates candidates via an equi-join on
+    (band, band_sig) — never all-pairs — and exact cosine verifies.
+    Oracle re-derives the band signatures (hyperplanes inlined as
+    md5-parity constants) and the OR-blocked verify."""
+    from gujarati_readability_pagewise_spark.operators.similarity import (
+        lsh_near_pairs,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    return (
+        lsh_near_pairs(emb, threshold=0.38, n_planes=8, bands=2, dim=64)
+        .select("a", "b", _r(F.col("cos")).alias("cos_sim"))
+        .orderBy("a", "b")
+    )
+
+
+def _sig_sql(planes: list[list[float]]) -> str:
+    """SQL for the bit-packed hyperplane signature over ``embedding`` —
+    mirrors operators/similarity._signature with the plane constants
+    inlined (they are md5-parity constants of the algorithm)."""
+    return " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(f"{v:.1f}" for v in row)
+        + f"]) > 0 THEN {1 << b} ELSE 0 END)"
+        for b, row in enumerate(planes)
+    )
+
+
 def _lsh_recall_oracle() -> str:
     """DuckDB oracle for similarity_lsh_recall: re-derives the hyperplane
     signatures (planes inlined as literals — they are md5-parity constants
@@ -1312,12 +1343,7 @@ def _lsh_recall_oracle() -> str:
     from gujarati_readability_pagewise_spark.operators.similarity import plane_signs
 
     planes = plane_signs(4, 64)
-    sig_expr = " + ".join(
-        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
-        + ", ".join(f"{v:.1f}" for v in row)
-        + f"]) > 0 THEN {1 << b} ELSE 0 END)"
-        for b, row in enumerate(planes)
-    )
+    sig_expr = _sig_sql(planes)
     masks = [0] + [
         sum(1 << i for i in bits)
         for r in (1, 2)
@@ -1365,6 +1391,71 @@ def _lsh_recall_oracle() -> str:
                coalesce(h.n_hit, 0) / 3.0 AS recall_at_3
         FROM embeddings q LEFT JOIN hits h ON h.q_id = q.vec_id
         WHERE q.vec_id < 5 ORDER BY q_id
+    """
+
+
+def _lsh_topk_oracle() -> str:
+    """DuckDB oracle for similarity_lsh_topk (4 planes, probe radius 1,
+    k=3): re-derives signatures, the radius-1 probe ball, and the exact
+    cosine re-rank."""
+    from gujarati_readability_pagewise_spark.operators.similarity import plane_signs
+
+    sig_expr = _sig_sql(plane_signs(4, 64))
+    cos = (
+        "list_dot_product(a.embedding, b.embedding)"
+        " / (sqrt(list_dot_product(a.embedding, a.embedding))"
+        " * sqrt(list_dot_product(b.embedding, b.embedding)))"
+    )
+    return f"""
+        WITH sig AS (
+          SELECT vec_id, CAST({sig_expr} AS INT) AS sig FROM embeddings),
+             probes AS (
+          SELECT s.vec_id AS q_id, xor(s.sig, f.flip) AS psig
+          FROM sig s, unnest([0, 1, 2, 4, 8]) f(flip)
+          WHERE s.vec_id < 5),
+             cands AS (
+          SELECT DISTINCT p.q_id, c.vec_id AS c_id
+          FROM probes p JOIN sig c ON c.sig = p.psig
+          WHERE c.vec_id != p.q_id),
+             scored AS (
+          SELECT cd.q_id, cd.c_id, {cos} AS cos
+          FROM cands cd
+          JOIN embeddings a ON a.vec_id = cd.q_id
+          JOIN embeddings b ON b.vec_id = cd.c_id)
+        SELECT q_id, c_id, round(cos, 4) AS cos_sim, CAST(rk AS INT) AS rk
+        FROM (
+          SELECT q_id, c_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, c_id ASC) AS rk
+          FROM scored)
+        WHERE rk <= 3 ORDER BY q_id, rk
+    """
+
+
+def _embedding_lsh_oracle() -> str:
+    """DuckDB oracle for dedup_embedding_lsh (8 planes, 2 bands of 4,
+    OR-amplified blocking + exact cosine verify > 0.38)."""
+    from gujarati_readability_pagewise_spark.operators.similarity import plane_signs
+
+    planes = plane_signs(8, 64)
+    s0 = _sig_sql(planes[0:4])
+    s1 = _sig_sql(planes[4:8])
+    cos = (
+        "list_dot_product(a.embedding, b.embedding)"
+        " / (sqrt(list_dot_product(a.embedding, a.embedding))"
+        " * sqrt(list_dot_product(b.embedding, b.embedding)))"
+    )
+    return f"""
+        WITH sig AS (
+          SELECT vec_id, embedding,
+                 CAST({s0} AS INT) AS s0, CAST({s1} AS INT) AS s1
+          FROM embeddings),
+             pairs AS (
+          SELECT a.vec_id AS a, b.vec_id AS b, {cos} AS cos
+          FROM sig a JOIN sig b
+            ON a.vec_id < b.vec_id AND (a.s0 = b.s0 OR a.s1 = b.s1))
+        SELECT a, b, round(cos, 4) AS cos_sim
+        FROM pairs WHERE cos > 0.38 ORDER BY a, b
     """
 
 
@@ -1428,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_verified_pairs": q_dedup_verified_pairs,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "text_lang_id": q_text_lang_id,
         "text_quality_score": q_text_quality_score,
         "text_fingerprint": q_text_fingerprint,
@@ -2076,6 +2168,8 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "similarity_lsh_recall": _lsh_recall_oracle(),
+        "similarity_lsh_topk": _lsh_topk_oracle(),
+        "dedup_embedding_lsh": _embedding_lsh_oracle(),
         "report_roc_points": """
             WITH d AS (
               SELECT CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS pos,

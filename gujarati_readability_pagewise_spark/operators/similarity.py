@@ -24,7 +24,14 @@ import hashlib
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "brute_force_topk", "plane_signs", "lsh_topk", "ivf_topk"]
+__all__ = [
+    "cosine",
+    "brute_force_topk",
+    "plane_signs",
+    "lsh_topk",
+    "lsh_near_pairs",
+    "ivf_topk",
+]
 
 
 def cosine(a, b):
@@ -168,6 +175,70 @@ def ivf_topk(
         pairs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("q_id", "c_id", "cos_sim", "rk")
+    )
+
+
+def lsh_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    bands: int = 2,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs at the crawl-scale shape: banded
+    hyperplane-LSH blocking generates candidates, exact cosine verifies.
+
+    The ``n_planes`` signature is split into ``bands`` independent bands
+    (OR-amplification): a pair is a candidate iff ANY band matches, which
+    lifts recall from p^n to 1-(1-p^r)^b for per-plane agreement p.  The
+    candidate join is an equi-join on (band, band_sig) — ~12-byte rows, one
+    shuffle, never all-pairs; only candidates touch the vectors in the
+    cosine verify.  Replaces the crossJoin in the brute-force
+    ``dedup_embedding`` baseline (same verify expression).
+    Returns (a, b, cos) with a < b and cos > threshold.
+    """
+    if dim is None:
+        row = emb.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError("cannot infer dim from an empty corpus; pass dim=")
+        dim = len(row[0])
+    if n_planes % bands:
+        raise ValueError(f"n_planes={n_planes} not divisible by bands={bands}")
+    planes = plane_signs(n_planes, dim)
+    r = n_planes // bands
+    band_sigs = [
+        _signature(F.col(vec_col), planes[b * r : (b + 1) * r]) for b in range(bands)
+    ]
+    banded = emb.select(
+        F.col(id_col).alias("k"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_sigs[b].alias("bsig"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("k", "bb.band", "bb.bsig")
+    a = banded.select(F.col("k").alias("a"), "band", "bsig")
+    b = banded.select(F.col("k").alias("b"), "band", "bsig")
+    pairs = (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()  # a pair matching several bands counts once
+    )
+    # vectors enter only here, keyed by id — the candidate join above
+    # shuffled ~12-byte (band, bsig, id) rows, never embeddings
+    ea = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("ea"))
+    eb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("eb"))
+    return (
+        pairs.join(ea, "a")
+        .join(eb, "b")
+        .select("a", "b", cosine(F.col("ea"), F.col("eb")).alias("cos"))
+        .filter(F.col("cos") > threshold)
     )
 
 

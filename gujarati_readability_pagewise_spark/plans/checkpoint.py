@@ -23,7 +23,7 @@ import os
 import time
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, Observation, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["bucket_expr", "completed_buckets", "run_checkpointed", "read_manifest"]
@@ -88,38 +88,37 @@ def run_checkpointed(
         result = transform(part)
         if "bucket" not in result.columns:
             result = result.withColumn("bucket", bucket_expr(F.col("url"), n_buckets))
-        # Manifest stats ride the WRITE action via Observation — conditional
-        # aggregates per bucket computed on the rows as they stream to the
-        # sink, so the (expensive) transform kernel runs exactly once per
-        # bucket instead of once for the write + once for a stats re-agg.
-        obs = Observation(f"ckpt_{job_id}_{g}")
-        metrics = []
-        for b in group:
-            is_b = F.col("bucket") == b
-            metrics.append(F.sum(is_b.cast("long")).alias(f"rows_{b}"))
-            metrics.append(
-                F.sum(F.when(is_b, F.length("text")).otherwise(F.lit(0))).alias(f"tb_{b}")
-            )
-            metrics.append(
-                F.sum(F.when(is_b, F.col("n_bytes")).otherwise(F.lit(0))).alias(f"ib_{b}")
-            )
         # idempotent: overwrite exactly the bucket partitions in `group`
-        result.observe(obs, *metrics).write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(out_dir)
-        vals = obs.get
+        result.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+        # Manifest stats come from reading the JUST-WRITTEN bucket
+        # partitions back (partition-pruned, 3 columns) — never from
+        # re-running `transform`, whose kernel is the expensive stage and
+        # must execute exactly once per row (asserted by accumulator in
+        # tests).  An Observation riding the write would also work but
+        # instantiates the session's non-serializable ObservationManager,
+        # which poisons any later closure that captures the session (e.g.
+        # Spark ML training summaries).
+        written = spark.read.parquet(out_dir).filter(F.col("bucket").isin(group))
+        stats = (
+            written.groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.length("text")).alias("n_text_bytes"),
+                F.sum("n_bytes").alias("n_input_bytes"),
+            )
+            .collect()
+        )
         wall = time.time() - t0
         rows = [
             (
-                int(b),
-                int(vals[f"rows_{b}"]),
-                int(vals[f"tb_{b}"] or 0),
-                int(vals[f"ib_{b}"] or 0),
+                int(s["bucket"]),
+                int(s["n_rows"]),
+                int(s["n_text_bytes"] or 0),
+                int(s["n_input_bytes"] or 0),
                 float(wall / max(len(group), 1)),
                 job_id,
             )
-            for b in group
-            if vals[f"rows_{b}"]  # parity with the old groupBy: only non-empty
+            for s in stats
         ]
         spark.createDataFrame(
             rows,

@@ -202,3 +202,38 @@ def test_ivf_topk_recall_and_full_probe_exactness(spark):
     part = ivf_topk(emb, q, k=3, n_cells=8, n_probe=2).collect()
     recall = len(exact_set & {(r["q_id"], r["c_id"]) for r in part}) / len(exact_set)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_lsh_near_pairs_blocked_verify(spark):
+    """Banded LSH near-pair blocking: precision 1 (every returned pair
+    truly exceeds the threshold — subset of the brute-force pair set) and
+    a planted exact duplicate is always found (identical vectors share
+    every band)."""
+    from pyspark.sql import functions as F2
+
+    from gujarati_readability_pagewise_spark.operators.similarity import (
+        cosine,
+        lsh_near_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dup = emb.filter(F2.col("vec_id") == 0).select(
+        (F2.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.union(dup)
+    got = lsh_near_pairs(corpus, threshold=0.38, n_planes=8, bands=2, dim=64)
+    got_pairs = {(r["a"], r["b"]) for r in got.collect()}
+    assert (0, 100000) in got_pairs  # planted exact dup: cos=1, all bands equal
+
+    a = corpus.select(F2.col("vec_id").alias("a"), F2.col("embedding").alias("ea"))
+    b = corpus.select(F2.col("vec_id").alias("b"), F2.col("embedding").alias("eb"))
+    brute = {
+        (r["a"], r["b"])
+        for r in a.crossJoin(b)
+        .filter(F2.col("a") < F2.col("b"))
+        .select("a", "b", cosine(F2.col("ea"), F2.col("eb")).alias("cos"))
+        .filter(F2.col("cos") > 0.38)
+        .collect()
+    }
+    assert got_pairs <= brute  # exact verify => no false positives
+    assert len(got_pairs) > 0
