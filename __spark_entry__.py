@@ -325,6 +325,47 @@ def q_tpch_q1(spark, sf):
     )
 
 
+def q_tpch_q17(spark, sf):
+    """Q17 shape (small-quantity revenue): a per-group scalar aggregate
+    (0.2 × avg quantity per part) joined back against the same fact table
+    — the correlated scalar subquery decorrelated into an agg + join-back,
+    which is how Spark scales it (the per-part threshold table is tiny and
+    broadcasts).  Quantities are integral so the threshold is
+    order-insensitive float math (exact across engines).  testdata has no
+    partsupp/container, so p_brand stands in for Q17's brand+container
+    predicate."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#13")
+    thresh = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(_r(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q_min_price_supplier(spark, sf):
+    """Q2 essence (min-per-group join-back): for each part, the supplier
+    achieving the minimum extended price, ties broken by lowest suppkey —
+    the decorrelated `= (SELECT min(..) ...)` pattern.  min() is exact on
+    doubles (no summation order), so the join-back predicate is
+    bit-identical across engines."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_partkey") < 200)
+    mins = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("min_price"))
+    return (
+        li.join(mins, "l_partkey")
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .groupBy("l_partkey", "min_price")
+        .agg(F.min("l_suppkey").alias("best_suppkey"))
+        .select("l_partkey", "best_suppkey", "min_price")
+        .orderBy("l_partkey")
+    )
+
+
 def q_u4_intersect(spark, sf):
     """U-family: customers appearing in BOTH halves of the order history."""
     ords = load_table(spark, sf, "orders")
@@ -1494,6 +1535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "tpch_q18": q_tpch_q18,
         "tpch_q22": q_tpch_q22,
+        "tpch_q17": q_tpch_q17,
+        "min_price_supplier": q_min_price_supplier,
         "sessionization": q_sessionization,
         "pivot_counts": q_pivot_counts,
         "dedup_exact": q_dedup_exact,
@@ -2167,6 +2210,30 @@ def oracle_sql() -> dict[str, str]:
                 f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16)
             ),
         ),
+        "tpch_q17": """
+            WITH t AS (
+              SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_limit
+              FROM lineitem GROUP BY l_partkey)
+            SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN t ON t.l_partkey = l.l_partkey
+            WHERE p.p_brand = 'Brand#13' AND l.l_quantity < t.qty_limit
+        """,
+        "min_price_supplier": """
+            WITH li AS (SELECT * FROM lineitem WHERE l_partkey < 200),
+                 mins AS (
+              SELECT l_partkey, min(l_extendedprice) AS min_price
+              FROM li GROUP BY l_partkey)
+            SELECT li.l_partkey,
+                   CAST(min(li.l_suppkey) AS BIGINT) AS best_suppkey,
+                   mins.min_price
+            FROM li JOIN mins
+              ON li.l_partkey = mins.l_partkey
+             AND li.l_extendedprice = mins.min_price
+            GROUP BY li.l_partkey, mins.min_price
+            ORDER BY li.l_partkey
+        """,
         "similarity_lsh_recall": _lsh_recall_oracle(),
         "similarity_lsh_topk": _lsh_topk_oracle(),
         "dedup_embedding_lsh": _embedding_lsh_oracle(),

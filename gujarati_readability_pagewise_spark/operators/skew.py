@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "salted_summary"]
+__all__ = ["heavy_hitters", "heavy_hitters_approx", "salted_summary"]
 
 
 def heavy_hitters(df: DataFrame, key: str, min_share: float = 0.1) -> DataFrame:
@@ -26,6 +26,41 @@ def heavy_hitters(df: DataFrame, key: str, min_share: float = 0.1) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > min_share * total)
         .withColumn("share", F.col("n") / F.lit(float(total)))
+    )
+
+
+def heavy_hitters_approx(
+    df: DataFrame,
+    key: str,
+    min_share: float = 0.1,
+    sample_fraction: float = 0.02,
+    seed: int = 42,
+    safety: float = 0.5,
+) -> DataFrame:
+    """Sampled heavy-hitter detection — the pre-pass you can afford at
+    10^12 rows.
+
+    ``heavy_hitters`` is exact but scans the table twice; here a seeded
+    Bernoulli sample (one partial scan, no shuffle of the full table)
+    estimates shares.  Keys are kept at ``min_share * safety`` — the
+    slack absorbs sampling error so a true heavy hitter at the threshold
+    is kept with overwhelming probability (a 10% key sampled at 2% of a
+    10^9-row table is ~200k draws; share estimates concentrate within
+    ±0.2%).  Output is a CANDIDATE set for the salting/AQE machinery:
+    false positives only cost a useless salt column, false negatives cost
+    a skewed reducer — hence the one-sided safety margin.
+    """
+    s = df.select(key).sample(fraction=sample_fraction, seed=seed)
+    n = s.count()
+    if n == 0:
+        return s.groupBy(key).agg(F.count("*").alias("n_sampled")).withColumn(
+            "share_est", F.col("n_sampled").cast("double")
+        )
+    return (
+        s.groupBy(key)
+        .agg(F.count("*").alias("n_sampled"))
+        .withColumn("share_est", F.col("n_sampled") / F.lit(float(n)))
+        .filter(F.col("share_est") >= min_share * safety)
     )
 
 

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from gujarati_readability_pagewise_spark.operators.skew import (
     heavy_hitters,
+    heavy_hitters_approx,
     salted_summary,
 )
 from gujarati_readability_pagewise_spark.operators.udfs import with_extraction
@@ -107,6 +108,20 @@ def test_heavy_hitter_detected(spark, pages_df):
     ).toPandas()
     assert "big.example.gu" in set(hh.host)  # the planted 32% host
     assert (hh.share > 0.25).any()
+
+
+def test_heavy_hitter_approx_finds_planted_host(spark, pages_df):
+    """The sampled pre-pass must surface the planted 32% host (one-sided
+    safety margin: false negatives are the expensive failure) and its
+    share estimate must be in the right ballpark; results are seeded-
+    deterministic."""
+    df = pages_df.withColumn("host", F.parse_url("url", F.lit("HOST")))
+    hh = heavy_hitters_approx(df, "host", min_share=0.1, sample_fraction=0.2)
+    got = hh.toPandas().set_index("host")["share_est"]
+    assert "big.example.gu" in got.index
+    assert 0.2 < got["big.example.gu"] < 0.45
+    again = heavy_hitters_approx(df, "host", min_share=0.1, sample_fraction=0.2)
+    assert got.equals(again.toPandas().set_index("host")["share_est"])
 
 
 def test_salted_summary_equals_direct(spark, pages_df):
