@@ -1288,13 +1288,43 @@ def q_streaming_windowed_counts(spark, sf):
 
 
 def q_pipeline_extract(spark, sf):
+    """The flagship extraction kernel (mapInPandas golden extractor),
+    oracle-checked to BYTE IDENTITY per url: the DuckDB oracle re-derives
+    the extracted text independently in pure SQL — paragraph split at the
+    generator's sentence boundaries, Boilerpipe word-count classification
+    (keep ≥8 words; rescue 3–7-word blocks adjacent to first-pass keeps),
+    '\\n\\n' join, and the boilerplate nav/footer provably dropped — and
+    compares md5(text).  north_rule's byte-identical-per-url invariant as
+    a hard gate row, not just a pytest."""
     from gujarati_readability_pagewise_spark.operators.udfs import with_extraction
 
     pages = pages_from_documents(spark, sf)
     ext = with_extraction(pages)
-    return ext.select("url", "extract_status", F.length("text").alias("n_text_chars")).orderBy(
-        "url"
-    )
+    return ext.select(
+        "url",
+        "extract_status",
+        F.length("text").alias("n_text_chars"),
+        F.md5("text").alias("text_md5"),
+    ).orderBy("url")
+
+
+def q_pipeline_features(spark, sf):
+    """The 12-dim readability feature kernel (numpy inside the same Arrow
+    batch as extraction), oracle-checked FEATURE-BY-FEATURE to bit
+    identity per url: the DuckDB oracle re-derives the extracted text
+    (pipeline_extract's CTE) and every feature as integer-count ratios —
+    regex class counts, token/type counts, akshara grammar matches,
+    stopword membership — where float division of identical integers is
+    exact across engines.  Together with pipeline_extract this puts the
+    whole north-rule kernel (bytes → text → features) under the hard
+    correctness gate."""
+    from gujarati_readability_pagewise_spark.functions.features import FEATURE_NAMES
+    from gujarati_readability_pagewise_spark.operators.udfs import with_extraction
+
+    pages = pages_from_documents(spark, sf)
+    ext = with_extraction(pages, include_spans=False)
+    cols = [F.col("features")[i].alias(name) for i, name in enumerate(FEATURE_NAMES)]
+    return ext.select("url", *cols).orderBy("url")
 
 
 def q_pipeline_score_summary(spark, sf):
@@ -1371,6 +1401,98 @@ def _sig_sql(planes: list[list[float]]) -> str:
         + f"]) > 0 THEN {1 << b} ELSE 0 END)"
         for b, row in enumerate(planes)
     )
+
+
+def _pipeline_features_oracle() -> str:
+    """DuckDB oracle for pipeline_features: re-derive the extracted text
+    (same CTEs as the pipeline_extract oracle), then every feature as an
+    integer-count ratio.  The akshara grammar and stopword list are taken
+    verbatim from functions/features so the two implementations cannot
+    drift silently."""
+    from gujarati_readability_pagewise_spark.functions.features import (
+        _AKSHARA,
+        _STOPWORDS,
+    )
+
+    stop_sql = ", ".join("'" + w + "'" for w in sorted(_STOPWORDS))
+    akshara = _AKSHARA.pattern
+    return rf"""
+        WITH d AS (
+          SELECT doc_id, source, regexp_split_to_array(text, '\. ') AS arr
+          FROM documents),
+             parts AS (
+          SELECT doc_id, i,
+                 CASE WHEN i < len(arr) THEN arr[i] || '.' ELSE arr[i] END AS para
+          FROM d, unnest(range(1, len(arr) + 1)) t(i)),
+             scored AS (
+          SELECT doc_id, i, para,
+                 len(regexp_split_to_array(trim(para), '\s+')) AS n_words
+          FROM parts WHERE trim(para) != ''),
+             labeled AS (
+          SELECT doc_id, i, para,
+                 (n_words >= 8) OR (n_words >= 3 AND (
+                    coalesce(lag(n_words >= 8) OVER w, false) OR
+                    coalesce(lead(n_words >= 8) OVER w, false))) AS kept
+          FROM scored WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+             agg AS (
+          SELECT doc_id,
+                 string_agg(para, chr(10) || chr(10) ORDER BY i) AS text_out
+          FROM labeled WHERE kept GROUP BY doc_id),
+             ext AS (
+          SELECT d.doc_id, d.source, coalesce(a.text_out, '') AS text
+          FROM d LEFT JOIN agg a USING (doc_id)),
+             f AS (
+          SELECT doc_id, source,
+            length(text) AS n_chars,
+            CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+            len(regexp_extract_all(text, '[.!?…।॥]+')) AS n_sent,
+            len(regexp_extract_all(text, '{akshara}')) AS n_akshara,
+            CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+                 END AS n_unique,
+            len(regexp_extract_all(text, '[!-/:-@\[-`{{-~।॥…“”‘’]')) AS n_punct,
+            len(regexp_extract_all(text, '[0-9૦-૯]')) AS n_digit,
+            len(regexp_extract_all(text, '[઀-૿]')) AS n_guj,
+            len(regexp_extract_all(text, '[\p{{L}}\p{{Nl}}\p{{No}}]')) AS n_letter,
+            len(regexp_extract_all(text, '[અ-હૐૠૡ]')) AS n_guj_letter,
+            len(regexp_extract_all(text, '\s')) AS n_space,
+            CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                          x -> list_contains([{stop_sql}], lower(x)))) END AS n_stop
+          FROM ext)
+        SELECT 'https://' || source || '.example.com/doc/' || doc_id
+                 || '-r0.html' AS url,
+          n_chars::DOUBLE AS n_chars,
+          n_words::DOUBLE AS n_words,
+          n_sent::DOUBLE AS n_sentences,
+          n_akshara::DOUBLE AS n_aksharas,
+          CASE WHEN n_words > 0
+               THEN n_unique / greatest(n_words, 1)::DOUBLE ELSE 0 END
+            AS type_token_ratio,
+          CASE WHEN n_chars > 0
+               THEN n_punct / greatest(n_chars, 1)::DOUBLE ELSE 0 END
+            AS punct_ratio,
+          CASE WHEN n_letter > 0
+               THEN n_guj_letter / greatest(n_letter, 1)::DOUBLE ELSE 0 END
+            AS script_purity,
+          CASE WHEN n_chars > 0
+               THEN n_digit / greatest(n_chars, 1)::DOUBLE ELSE 0 END
+            AS digit_ratio,
+          CASE WHEN n_words > 0
+               THEN (n_chars - n_space - n_punct) / greatest(n_words, 1)::DOUBLE
+               ELSE 0 END AS mean_word_len,
+          CASE WHEN n_sent > 0
+               THEN n_words / greatest(n_sent, 1)::DOUBLE ELSE 0 END
+            AS mean_sentence_words,
+          CASE WHEN n_words > 0
+               THEN n_stop / greatest(n_words, 1)::DOUBLE ELSE 0 END
+            AS stopword_ratio,
+          CASE WHEN n_chars > 0
+               THEN n_guj / greatest(n_chars, 1)::DOUBLE ELSE 0 END
+            AS gujarati_char_ratio
+        FROM f ORDER BY url
+    """
 
 
 def _lsh_recall_oracle() -> str:
@@ -1578,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "pipeline_extract": q_pipeline_extract,
+        "pipeline_features": q_pipeline_features,
         "pipeline_score_summary": q_pipeline_score_summary,
         "report_roc_points": q_report_roc_points,
         "report_pred_histogram": q_report_pred_histogram,
@@ -2210,6 +2333,38 @@ def oracle_sql() -> dict[str, str]:
                 f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16)
             ),
         ),
+        "pipeline_features": _pipeline_features_oracle(),
+        "pipeline_extract": r"""
+            WITH d AS (
+              SELECT doc_id, source, regexp_split_to_array(text, '\. ') AS arr
+              FROM documents),
+                 parts AS (
+              SELECT doc_id, i,
+                     CASE WHEN i < len(arr) THEN arr[i] || '.' ELSE arr[i] END AS para
+              FROM d, unnest(range(1, len(arr) + 1)) t(i)),
+                 scored AS (
+              SELECT doc_id, i, para,
+                     len(regexp_split_to_array(trim(para), '\s+')) AS n_words
+              FROM parts WHERE trim(para) != ''),
+                 labeled AS (
+              SELECT doc_id, i, para,
+                     (n_words >= 8) OR (n_words >= 3 AND (
+                        coalesce(lag(n_words >= 8) OVER w, false) OR
+                        coalesce(lead(n_words >= 8) OVER w, false))) AS kept
+              FROM scored WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+                 agg AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) || chr(10) ORDER BY i) AS text_out
+              FROM labeled WHERE kept GROUP BY doc_id)
+            SELECT 'https://' || d.source || '.example.com/doc/' || d.doc_id
+                     || '-r0.html' AS url,
+                   CASE WHEN coalesce(a.text_out, '') != '' THEN 'ok'
+                        ELSE 'empty' END AS extract_status,
+                   CAST(length(coalesce(a.text_out, '')) AS INT) AS n_text_chars,
+                   md5(coalesce(a.text_out, '')) AS text_md5
+            FROM d LEFT JOIN agg a USING (doc_id)
+            ORDER BY url
+        """,
         "tpch_q17": """
             WITH t AS (
               SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_limit
