@@ -1226,12 +1226,34 @@ def q_asof_join(spark, sf):
 
 def q_layout_spans(spark, sf):
     """Payload-kind dispatch + ordered-span parse (north_star PDF/layout
-    clause).  Rows-only: the parser is the Python golden kernel."""
+    clause) over a MIXED corpus: every 3rd doc ships as a raw text payload
+    (magic-byte dispatch → blank-line paragraph spans), the rest as HTML
+    (dispatch → golden extraction spans).  Oracle-checked: DuckDB
+    re-derives the kind from doc_id and the span count per branch —
+    non-empty paragraphs for text, Boilerpipe-kept paragraphs for HTML."""
     from gujarati_readability_pagewise_spark.functions.layout import (
         with_layout_spans,
     )
+    from gujarati_readability_pagewise_spark.sources.catalog import _POST, _PRE
 
-    pages = pages_from_documents(spark, sf).limit(300)
+    docs = load_table(spark, sf, "documents")
+    body = F.regexp_replace(F.col("text"), r"\. ", ".</p><p>")
+    html_payload = F.encode(F.concat(F.lit(_PRE), body, F.lit(_POST)), "utf-8")
+    text_payload = F.encode(
+        F.regexp_replace(F.col("text"), r"\. ", ".\n\n"), "utf-8"
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("-r0.html"),
+        ).alias("url"),
+        F.when(F.col("doc_id") % 3 == 0, text_payload)
+        .otherwise(html_payload)
+        .alias("html"),
+    )
     return (
         with_layout_spans(pages)
         .select("url", "kind", "n_spans")
@@ -1253,7 +1275,12 @@ def q_similarity_ivf_topk(spark, sf):
 def q_streaming_windowed_counts(spark, sf):
     """Structured Streaming surface: watermarked windowed per-host arrival
     counts over a bounded crawl-feed stream (memory sink, drained with
-    processAllAvailable).  Rows-only: streaming is not SQL-oracle-able."""
+    processAllAvailable).  Oracle-checked as STREAM ≡ BATCH equivalence:
+    the DuckDB oracle computes the same tumbling-window aggregation
+    directly from the documents table (window start = epoch-floored
+    warc_ts, payload bytes re-derived from the page template), so the
+    incremental micro-batch execution must converge to exactly the batch
+    answer."""
     import tempfile
 
     from gujarati_readability_pagewise_spark.streaming.ingest import (
@@ -1262,7 +1289,7 @@ def q_streaming_windowed_counts(spark, sf):
     )
 
     src = tempfile.mkdtemp(prefix="graft_stream_src_")
-    pages_from_documents(spark, sf).limit(500).write.mode("overwrite").parquet(src)
+    pages_from_documents(spark, sf).write.mode("overwrite").parquet(src)
     for q in spark.streams.active:
         if q.name == "graft_stream_win":
             q.stop()
@@ -1492,6 +1519,31 @@ def _pipeline_features_oracle() -> str:
                THEN n_guj / greatest(n_chars, 1)::DOUBLE ELSE 0 END
             AS gujarati_char_ratio
         FROM f ORDER BY url
+    """
+
+
+def _streaming_oracle() -> str:
+    """DuckDB oracle for streaming_windowed_counts: the tumbling-window
+    per-host aggregation computed as a plain batch query over documents —
+    the stream's complete-mode output must equal it exactly.  Payload byte
+    length is re-derived: octet_length(text) + 6 bytes per '. '→'.</p><p>'
+    substitution + the constant template wrapper (strlen = byte length)."""
+    from gujarati_readability_pagewise_spark.sources.catalog import _POST, _PRE
+
+    base = len(_PRE.encode()) + len(_POST.encode())
+    return rf"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 strlen(text)
+                   + 6 * len(regexp_extract_all(text, '\. ')) + {base} AS nb,
+                 1704067200 + doc_id * 60 AS ep
+          FROM documents)
+        SELECT make_timestamp(CAST(floor(ep / 1800) AS BIGINT) * 1800 * 1000000)
+                 AS win_start,
+               source || '.example.com' AS host,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(nb) AS BIGINT) AS n_bytes
+        FROM d GROUP BY 1, 2 ORDER BY win_start, host
     """
 
 
@@ -2334,6 +2386,40 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "pipeline_features": _pipeline_features_oracle(),
+        "streaming_windowed_counts": _streaming_oracle(),
+        "layout_spans": r"""
+            WITH d AS (
+              SELECT doc_id, source, regexp_split_to_array(text, '\. ') AS arr
+              FROM documents),
+                 parts AS (
+              SELECT doc_id, i,
+                     CASE WHEN i < len(arr) THEN arr[i] || '.' ELSE arr[i] END AS para
+              FROM d, unnest(range(1, len(arr) + 1)) t(i)),
+                 scored AS (
+              SELECT doc_id, i, para,
+                     len(regexp_split_to_array(trim(para), '\s+')) AS n_words
+              FROM parts WHERE trim(para) != ''),
+                 labeled AS (
+              SELECT doc_id, i,
+                     (n_words >= 8) OR (n_words >= 3 AND (
+                        coalesce(lag(n_words >= 8) OVER w, false) OR
+                        coalesce(lead(n_words >= 8) OVER w, false))) AS kept
+              FROM scored WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+                 html_spans AS (
+              SELECT doc_id, count(*) AS n FROM labeled WHERE kept GROUP BY doc_id),
+                 text_spans AS (
+              SELECT doc_id, count(*) AS n FROM scored GROUP BY doc_id)
+            SELECT 'https://' || d.source || '.example.com/doc/' || d.doc_id
+                     || '-r0.html' AS url,
+                   CASE WHEN d.doc_id % 3 = 0 THEN 'text' ELSE 'html' END AS kind,
+                   CAST(CASE WHEN d.doc_id % 3 = 0
+                             THEN coalesce(t.n, 0)
+                             ELSE coalesce(h.n, 0) END AS INT) AS n_spans
+            FROM d
+            LEFT JOIN html_spans h USING (doc_id)
+            LEFT JOIN text_spans t USING (doc_id)
+            ORDER BY url
+        """,
         "pipeline_extract": r"""
             WITH d AS (
               SELECT doc_id, source, regexp_split_to_array(text, '\. ') AS arr
