@@ -911,7 +911,8 @@ def q_dedup_minhash_lsh(spark, sf):
     )
 
     docs = load_table(spark, sf, "documents")
-    sh = char_shingles(docs, "text", "doc_id", k=5)
+    par = spark.sparkContext.defaultParallelism
+    sh = char_shingles(docs, "text", "doc_id", k=5, n_partitions=par)
     sig = minhash_signatures(sh, "doc_id", n_hashes=16)
     return lsh_candidate_pairs(sig, "doc_id", bands=4).orderBy("a", "b")
 
@@ -983,7 +984,8 @@ def q_dedup_components(spark, sf):
     )
 
     docs = load_table(spark, sf, "documents")
-    sh = char_shingles(docs, "text", "doc_id", k=5)
+    par = spark.sparkContext.defaultParallelism
+    sh = char_shingles(docs, "text", "doc_id", k=5, n_partitions=par)
     sig = minhash_signatures(sh, "doc_id", n_hashes=16)
     pairs = lsh_candidate_pairs(sig, "doc_id", bands=4)
     return connected_components(pairs).orderBy("doc_id")
@@ -1048,7 +1050,8 @@ def q_dedup_verified_pairs(spark, sf):
     )
 
     docs = load_table(spark, sf, "documents")
-    sh = char_shingles(docs, "text", "doc_id", k=5)
+    par = spark.sparkContext.defaultParallelism
+    sh = char_shingles(docs, "text", "doc_id", k=5, n_partitions=par)
     cands = lsh_candidate_pairs(
         minhash_signatures(sh, "doc_id", n_hashes=16), "doc_id", bands=4
     )
