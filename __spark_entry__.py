@@ -1077,7 +1077,7 @@ def q_dedup_embedding(spark, sf):
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", cosine(F.col("ea"), F.col("eb")).alias("cos"))
+        .select("a", "b", cosine("ea", "eb", 64).alias("cos"))
         .filter(F.col("cos") > 0.38)
         .select("a", "b", _r(F.col("cos")).alias("cos_sim"))
         .orderBy("a", "b")
@@ -1189,7 +1189,7 @@ def q_similarity_lsh_recall(spark, sf):
     lsh = lsh_topk(emb, q, k=3, n_planes=4, dim=64, probe_radius=2).select(
         "q_id", "c_id"
     )
-    bf = brute_force_topk(emb, q, k=3).select("q_id", "c_id")
+    bf = brute_force_topk(emb, q, k=3, dim=64).select("q_id", "c_id")
     hits = lsh.join(bf, ["q_id", "c_id"]).groupBy("q_id").agg(
         F.count("*").alias("n_hit")
     )
@@ -1272,7 +1272,7 @@ def q_similarity_ivf_topk(spark, sf):
 
     emb = load_table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, q, k=3, n_cells=16, n_probe=4).orderBy("q_id", "rk")
+    return ivf_topk(emb, q, k=3, n_cells=16, n_probe=4, dim=64).orderBy("q_id", "rk")
 
 
 def q_streaming_windowed_counts(spark, sf):
@@ -1415,7 +1415,10 @@ def q_dedup_embedding_lsh(spark, sf):
 
     emb = load_table(spark, sf, "embeddings")
     return (
-        lsh_near_pairs(emb, threshold=0.38, n_planes=8, bands=2, dim=64)
+        lsh_near_pairs(
+            emb, threshold=0.38, n_planes=8, bands=2, dim=64,
+            n_partitions=spark.sparkContext.defaultParallelism,
+        )
         .select("a", "b", _r(F.col("cos")).alias("cos_sim"))
         .orderBy("a", "b")
     )

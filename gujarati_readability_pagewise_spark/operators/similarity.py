@@ -20,6 +20,8 @@ full embedding via the re-rank join.
 from __future__ import annotations
 
 import hashlib
+import operator
+from functools import reduce
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -34,7 +36,35 @@ __all__ = [
 ]
 
 
-def cosine(a, b):
+def cosine(a, b, dim: int | None = None):
+    """Cosine similarity between two array columns.
+
+    With ``dim`` the dot/norm sums are UNROLLED into plain expression
+    chains — the ``aggregate(zip_with(...))`` higher-order form falls out
+    of whole-stage codegen into the interpreted evaluator and measures
+    ~5-10× slower per row.  Both forms are bit-identical: the unrolled
+    left-associated adds reproduce the fold's accumulation order, and each
+    float product is cast to double exactly as the fold's ``acc + v``
+    promotion does.
+    """
+    if dim is not None and isinstance(a, str) and isinstance(b, str):
+        # column NAMES: build the whole chain as one SQL string — a single
+        # py4j round-trip instead of ~3·dim Column-operator calls (driver-
+        # side expression construction was the dominant cost per query)
+        dot_sql = lambda x, y: " + ".join(
+            f"CAST({x}[{i}] * {y}[{i}] AS DOUBLE)" for i in range(dim)
+        )
+        return F.expr(
+            f"({dot_sql(a, b)}) / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)}))"
+        )
+    if dim is not None:
+        dot = reduce(
+            operator.add, [(a[i] * b[i]).cast("double") for i in range(dim)]
+        )
+        norm = lambda c: F.sqrt(
+            reduce(operator.add, [(c[i] * c[i]).cast("double") for i in range(dim)])
+        )
+        return dot / (norm(a) * norm(b))
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0).cast("double"),
@@ -52,14 +82,20 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
-    """Exact top-k: (q_id, c_id, cos_sim, rk)."""
+    """Exact top-k: (q_id, c_id, cos_sim, rk).  Pass ``dim`` to unroll the
+    cosine into codegen-able expressions (bit-identical, ~5-10x faster)."""
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"))
     c = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_emb"))
     pairs = (
         q.crossJoin(c)
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"))
+        .select(
+            "q_id",
+            "c_id",
+            cosine("q_emb", "c_emb", dim).alias("cos_sim"),
+        )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return (
@@ -82,14 +118,37 @@ def plane_signs(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def _signature(vec_col, planes: list[list[float]]):
-    """Bit-packed hyperplane signature as a small int expression."""
+    """Bit-packed hyperplane signature as a small int expression.
+
+    The per-plane dot is UNROLLED: weights are ±1, so it is a plain chain
+    of ``± vec[d]`` double adds — whole-stage-codegen-able, vs the
+    interpreted ``aggregate(zip_with(...))`` fold (~6× slower per row).
+    Bit-identical to the fold: left-associated adds in the same element
+    order, each ±float term cast to double exactly like the fold's
+    promotion; sign decisions at ±0.0 agree (both compare > 0).
+    """
+    if isinstance(vec_col, str):
+        # one SQL string = one py4j round-trip (vs thousands of Column ops)
+        terms = []
+        for b, row in enumerate(planes):
+            dot = " + ".join(
+                f"CAST({vec_col}[{d}] AS DOUBLE)"
+                if w > 0
+                else f"CAST((- {vec_col}[{d}]) AS DOUBLE)"
+                for d, w in enumerate(row)
+            )
+            terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << b} ELSE 0 END)")
+        return F.expr(f"CAST({' + '.join(terms)} AS INT)")
     sig = None
     for b, row in enumerate(planes):
-        w = F.array(*[F.lit(v) for v in row])
-        dot = F.aggregate(
-            F.zip_with(vec_col, w, lambda x, y: x * y),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
+        dot = reduce(
+            operator.add,
+            [
+                vec_col[d].cast("double")
+                if w > 0
+                else (-vec_col[d]).cast("double")
+                for d, w in enumerate(row)
+            ],
         )
         term = F.when(dot > 0, F.lit(2**b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
@@ -117,6 +176,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization.
 
@@ -167,7 +227,11 @@ def ivf_topk(
     pairs = (
         probed.join(c, "cell")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"))
+        .select(
+            "q_id",
+            "c_id",
+            cosine("q_emb", "c_emb", dim).alias("cos_sim"),
+        )
         .distinct()
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
@@ -186,6 +250,7 @@ def lsh_near_pairs(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs at the crawl-scale shape: banded
     hyperplane-LSH blocking generates candidates, exact cosine verifies.
@@ -206,22 +271,27 @@ def lsh_near_pairs(
         dim = len(row[0])
     if n_planes % bands:
         raise ValueError(f"n_planes={n_planes} not divisible by bands={bands}")
+    if n_partitions:  # spread the signature map over cores (single-file input)
+        emb = emb.repartition(n_partitions, id_col)
     planes = plane_signs(n_planes, dim)
     r = n_planes // bands
     band_sigs = [
-        _signature(F.col(vec_col), planes[b * r : (b + 1) * r]) for b in range(bands)
+        _signature(vec_col, planes[b * r : (b + 1) * r]) for b in range(bands)
     ]
-    banded = emb.select(
-        F.col(id_col).alias("k"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_sigs[b].alias("bsig"))
-                    for b in range(bands)
-                ]
+    # one select per band, unioned: packing every band's unrolled signature
+    # into a single explode projection exceeds the 64KB codegen method limit
+    # (ERROR + interpreted fallback); per-band projections stay compiled
+    banded = reduce(
+        DataFrame.unionByName,
+        [
+            emb.select(
+                F.col(id_col).alias("k"),
+                F.lit(b).alias("band"),
+                band_sigs[b].alias("bsig"),
             )
-        ).alias("bb"),
-    ).select("k", "bb.band", "bb.bsig")
+            for b in range(bands)
+        ],
+    )
     a = banded.select(F.col("k").alias("a"), "band", "bsig")
     b = banded.select(F.col("k").alias("b"), "band", "bsig")
     pairs = (
@@ -234,6 +304,10 @@ def lsh_near_pairs(
     # shuffled ~12-byte (band, bsig, id) rows, never embeddings
     ea = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("ea"))
     eb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("eb"))
+    # verify cosine stays the fold form: it runs on the (small) candidate
+    # set only, and the unrolled chain stacked on the join's whole-stage
+    # span blows the 64KB codegen method limit (the hot per-corpus-row
+    # expression — the signature — is the one that must stay compiled)
     return (
         pairs.join(ea, "a")
         .join(eb, "b")
@@ -274,7 +348,7 @@ def lsh_topk(
     c = emb.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_emb"),
-        _signature(F.col(vec_col), planes).alias("sig"),
+        _signature(vec_col, planes).alias("sig"),
     )
     probe_flips = F.array(*[F.lit(f) for f in _probe_flips(n_planes, probe_radius)])
     # compute the n_planes-dot-product signature ONCE per query row, then
@@ -284,7 +358,7 @@ def lsh_topk(
         queries.select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("q_emb"),
-            _signature(F.col(vec_col), planes).alias("_sig"),
+            _signature(vec_col, planes).alias("_sig"),
         )
         .select("q_id", "q_emb", "_sig", F.explode(probe_flips).alias("_flip"))
         .select(
@@ -294,7 +368,11 @@ def lsh_topk(
     pairs = (
         q.join(c, "sig")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"))
+        .select(
+            "q_id",
+            "c_id",
+            cosine("q_emb", "c_emb", dim).alias("cos_sim"),
+        )
         .distinct()
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
