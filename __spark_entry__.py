@@ -1317,6 +1317,60 @@ def q_streaming_windowed_counts(spark, sf):
     )
 
 
+def q_streaming_dedup_urls(spark, sf):
+    """Streaming re-crawl dedup (§2.10): watermark + dropDuplicates(url)
+    over a bounded feed where every url arrives twice (two fetches 1s
+    apart).  Oracle-checked as stream ≡ batch: the output must contain
+    exactly ONE row per distinct url — DuckDB derives the expected url set
+    directly from documents.  The horizon is set far beyond the feed's
+    time span so state is never evicted mid-run (a re-crawl pair split
+    across micro-batches must still dedup deterministically)."""
+    import tempfile
+
+    from gujarati_readability_pagewise_spark.streaming.ingest import (
+        dedup_recrawls,
+        stream_pages,
+    )
+
+    src = tempfile.mkdtemp(prefix="graft_stream_dedup_")
+    docs = load_table(spark, sf, "documents")
+    pages = docs.withColumn(
+        "fetch", F.explode(F.array(F.lit(0), F.lit(1)))
+    ).select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id") * 60 + F.col("fetch")
+        ).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    pages.write.mode("overwrite").parquet(src)
+    for q in spark.streams.active:
+        if q.name == "graft_stream_dedup":
+            q.stop()
+    deduped = dedup_recrawls(stream_pages(spark, src), horizon="100000 hours")
+    sq = (
+        deduped.writeStream.format("memory")
+        .queryName("graft_stream_dedup")
+        .outputMode("append")
+        .start()
+    )
+    sq.processAllAvailable()
+    sq.stop()
+    return (
+        spark.table("graft_stream_dedup")
+        .groupBy("url")
+        .agg(F.count("*").alias("n"))
+        .orderBy("url")
+    )
+
+
 def q_pipeline_extract(spark, sf):
     """The flagship extraction kernel (mapInPandas golden extractor),
     oracle-checked to BYTE IDENTITY per url: the DuckDB oracle re-derives
@@ -1757,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_spans": q_layout_spans,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "streaming_windowed_counts": q_streaming_windowed_counts,
+        "streaming_dedup_urls": q_streaming_dedup_urls,
         "pipeline_extract": q_pipeline_extract,
         "pipeline_features": q_pipeline_features,
         "pipeline_score_summary": q_pipeline_score_summary,
@@ -2393,6 +2448,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pipeline_features": _pipeline_features_oracle(),
         "streaming_windowed_counts": _streaming_oracle(),
+        "streaming_dedup_urls": """
+            SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+                   CAST(1 AS BIGINT) AS n
+            FROM documents ORDER BY url
+        """,
         "layout_spans": r"""
             WITH d AS (
               SELECT doc_id, source, regexp_split_to_array(text, '\. ') AS arr
