@@ -116,7 +116,14 @@ def q_a5_eval_metrics(spark, sf):
 
 
 def q_a6_group_stats(spark, sf):
-    li = load_table(spark, sf, "lineitem")
+    """Per-order stats incl. exact median.  The groups are near-unique
+    (~4 rows/order), so partial aggregation buys nothing — repartitioning
+    by the group key FIRST moves the exchange below the heavy
+    value-collecting percentile buffers: they build in parallel, and
+    Catalyst sees the partitioning satisfied so no second exchange."""
+    li = load_table(spark, sf, "lineitem").repartition(
+        spark.sparkContext.defaultParallelism, "l_orderkey"
+    )
     return (
         li.groupBy("l_orderkey")
         .agg(

@@ -126,10 +126,9 @@ def _clean_text(raw: str) -> str:
     return " ".join(_clean_words(raw))
 
 
-class _Block(NamedTuple):
-    text: str
-    n_words: int
-    link_density: float
+# blocks are plain (text, n_words, link_density) tuples — NamedTuple
+# construction measured ~5% of the segment loop at 70k blocks/batch
+_Block = tuple
 
 
 # Boilerpipe-style thresholds (kept as module constants so tests can cite them)
@@ -138,16 +137,20 @@ MIN_RESCUE_WORDS = 3       # shorter blocks are rescued only next to content
 MAX_LINK_DENSITY = 1.0 / 3.0
 
 
-def _segment(html: str, lower: bool = False) -> list[_Block]:
+def _segment(html: str, lower: bool = False) -> list[tuple]:
     """Split into scored text blocks.  ``lower=True`` (caller checked
     ``html.islower()``) selects the case-sensitive regex twins — identical
     matches on such input, ~2x faster on the alternation-heavy split."""
     drop = _RE_DROP_CONTENT_CS if lower else _RE_DROP_CONTENT
     block_split = _RE_BLOCK_SPLIT_CS if lower else _RE_BLOCK_SPLIT
     anchor = _RE_ANCHOR_CS if lower else _RE_ANCHOR
-    html = _RE_COMMENT.sub(" ", html)
+    # guards are exact fast-paths: a page without "<!--" has no comments
+    if "<!--" in html:
+        html = _RE_COMMENT.sub(" ", html)
     html = drop.sub(" ", html)
-    blocks: list[_Block] = []
+    blocks: list[tuple] = []
+    clean = _clean_words
+    append = blocks.append
     for raw in block_split.split(html):
         if not raw or raw.isspace():
             continue
@@ -155,26 +158,29 @@ def _segment(html: str, lower: bool = False) -> list[_Block]:
         link_words = 0
         if "<a" in raw or (not lower and "<A" in raw):
             for m in anchor.finditer(raw):
-                link_words += len(_clean_words(m.group(1)))
-        words = _clean_words(raw)
+                link_words += len(clean(m.group(1)))
+        words = clean(raw)
         if not words:
             continue
-        text = " ".join(words)
         n_words = len(words)
-        ld = (link_words / n_words) if n_words else 1.0
-        blocks.append(_Block(text, n_words, min(ld, 1.0)))
+        if link_words:
+            ld = link_words / n_words
+            if ld > 1.0:
+                ld = 1.0
+        else:
+            ld = 0.0
+        append((" ".join(words), n_words, ld))
     return blocks
 
 
 def _classify(blocks: list[_Block]) -> list[bool]:
     keep = [
-        b.n_words >= MIN_CONTENT_WORDS and b.link_density <= MAX_LINK_DENSITY
-        for b in blocks
+        b[1] >= MIN_CONTENT_WORDS and b[2] <= MAX_LINK_DENSITY for b in blocks
     ]
     # one deterministic smoothing pass against the *first-pass* labels
     rescued = list(keep)
     for i, b in enumerate(blocks):
-        if keep[i] or b.n_words < MIN_RESCUE_WORDS or b.link_density > MAX_LINK_DENSITY:
+        if keep[i] or b[1] < MIN_RESCUE_WORDS or b[2] > MAX_LINK_DENSITY:
             continue
         prev_ok = i > 0 and keep[i - 1]
         next_ok = i + 1 < len(blocks) and keep[i + 1]
@@ -207,7 +213,7 @@ def extract_text(html: bytes | None) -> ExtractResult:
     s = unicodedata.normalize("NFC", s)
     blocks = _segment(s, s.islower())
     keep = _classify(blocks)
-    spans = [b.text for b, k in zip(blocks, keep) if k]
+    spans = [b[0] for b, k in zip(blocks, keep) if k]
     if not spans:
         return ExtractResult("", [], STATUS_EMPTY if status == STATUS_OK else status)
     return ExtractResult("\n\n".join(spans), spans, status)
