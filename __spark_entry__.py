@@ -1324,6 +1324,30 @@ def q_streaming_windowed_counts(spark, sf):
     )
 
 
+def q_multimodal_features(spark, sf):
+    """Multimodal column plumbing under the gate: opaque binary payloads +
+    typed metadata through the mapInPandas batch featurizer (the decode
+    step is stubbed per container limits; the deterministic md5-seeded
+    fake features ARE oracle-checkable — DuckDB re-derives each of the 16
+    dims as digest-byte/255.0 alongside the metadata struct fields)."""
+    from gujarati_readability_pagewise_spark.functions.multimodal import (
+        FEATURE_DIM,
+        media_from_documents,
+        with_media_features,
+    )
+
+    media = media_from_documents(spark, sf)
+    feats = with_media_features(media)
+    return feats.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        "decode_status",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(FEATURE_DIM)],
+    ).orderBy("media_id")
+
+
 def q_streaming_dedup_urls(spark, sf):
     """Streaming re-crawl dedup (§2.10): watermark + dropDuplicates(url)
     over a bounded feed where every url arrives twice (two fetches 1s
@@ -1819,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "streaming_dedup_urls": q_streaming_dedup_urls,
+        "multimodal_features": q_multimodal_features,
         "pipeline_extract": q_pipeline_extract,
         "pipeline_features": q_pipeline_features,
         "pipeline_score_summary": q_pipeline_score_summary,
@@ -2455,6 +2480,31 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pipeline_features": _pipeline_features_oracle(),
         "streaming_windowed_counts": _streaming_oracle(),
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CAST(doc_id % 640 + 64 AS INT) AS width,
+                   CAST(doc_id % 480 + 48 AS INT) AS height,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   CASE WHEN strlen(text) = 0 THEN 'empty' ELSE 'ok' END
+                     AS decode_status,
+                   ('0x' || substr(md5(text), 1, 2))::INT / 255.0 AS f0,
+                   ('0x' || substr(md5(text), 3, 2))::INT / 255.0 AS f1,
+                   ('0x' || substr(md5(text), 5, 2))::INT / 255.0 AS f2,
+                   ('0x' || substr(md5(text), 7, 2))::INT / 255.0 AS f3,
+                   ('0x' || substr(md5(text), 9, 2))::INT / 255.0 AS f4,
+                   ('0x' || substr(md5(text), 11, 2))::INT / 255.0 AS f5,
+                   ('0x' || substr(md5(text), 13, 2))::INT / 255.0 AS f6,
+                   ('0x' || substr(md5(text), 15, 2))::INT / 255.0 AS f7,
+                   ('0x' || substr(md5(text), 17, 2))::INT / 255.0 AS f8,
+                   ('0x' || substr(md5(text), 19, 2))::INT / 255.0 AS f9,
+                   ('0x' || substr(md5(text), 21, 2))::INT / 255.0 AS f10,
+                   ('0x' || substr(md5(text), 23, 2))::INT / 255.0 AS f11,
+                   ('0x' || substr(md5(text), 25, 2))::INT / 255.0 AS f12,
+                   ('0x' || substr(md5(text), 27, 2))::INT / 255.0 AS f13,
+                   ('0x' || substr(md5(text), 29, 2))::INT / 255.0 AS f14,
+                   ('0x' || substr(md5(text), 31, 2))::INT / 255.0 AS f15
+            FROM documents ORDER BY media_id
+        """,
         "streaming_dedup_urls": """
             SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
                    CAST(1 AS BIGINT) AS n
