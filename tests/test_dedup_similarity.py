@@ -237,3 +237,39 @@ def test_lsh_near_pairs_blocked_verify(spark):
     }
     assert got_pairs <= brute  # exact verify => no false positives
     assert len(got_pairs) > 0
+
+
+def test_unrolled_signature_and_cosine_bit_identical_to_fold(spark):
+    """The unrolled SQL-string forms of the hyperplane signature and the
+    cosine must be BIT-identical to the higher-order aggregate(zip_with)
+    fold on random vectors (the performance rewrite must not move a single
+    ulp — bucket membership and rank order depend on it)."""
+    import numpy as np
+
+    from gujarati_readability_pagewise_spark.operators.similarity import (
+        _signature,
+        cosine,
+        plane_signs,
+    )
+
+    rng = np.random.default_rng(123)
+    vecs = rng.normal(0, 1, size=(300, 64)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": range(300), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    emb = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    planes = plane_signs(4, 64)
+    both = emb.select(
+        _signature("embedding", planes).alias("sig_unrolled"),
+        _signature(F.col("embedding"), planes).alias("sig_fold"),
+    ).toPandas()
+    assert (both.sig_unrolled == both.sig_fold).all()
+
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b")).limit(2000)
+    cc = pairs.select(
+        cosine("ea", "eb", 64).alias("c_unrolled"),
+        cosine(F.col("ea"), F.col("eb")).alias("c_fold"),
+    ).toPandas()
+    assert (cc.c_unrolled == cc.c_fold).all()  # bitwise, not approx
