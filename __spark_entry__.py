@@ -1324,6 +1324,49 @@ def q_streaming_windowed_counts(spark, sf):
     )
 
 
+def _synthetic_edges(spark, sf):
+    """Deterministic 3-out-degree link graph over the documents' doc_id
+    space: dst = (src·k + c) mod N for three (k, c) pairs.  Same formula
+    in the oracle — doc_ids are contiguous 0..N-1 in the testdata."""
+    docs = load_table(spark, sf, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = docs.select(F.col("doc_id").alias("src")).select(
+        "src",
+        F.explode(
+            F.array(
+                (F.col("src") * 7 + 13) % n,
+                (F.col("src") * 31 + 7) % n,
+                (F.col("src") * 13 + 101) % n,
+            )
+        ).alias("dst"),
+    )
+    return nodes, edges
+
+
+def q_graph_pagerank(spark, sf):
+    """Link-graph PageRank (5 integer fixed-point power iterations,
+    damping 17/20) — the crawl-scheduling authority signal.  Exact:
+    every operation is BIGINT floor arithmetic, so the iterative Spark
+    plan hash-matches the DuckDB oracle's unrolled-CTE iterations
+    bit-for-bit (float PageRank could never be hash-checked — summation
+    order moves ulps every iteration)."""
+    from gujarati_readability_pagewise_spark.operators.graph import (
+        pagerank_fixedpoint,
+    )
+
+    nodes, edges = _synthetic_edges(spark, sf)
+    return pagerank_fixedpoint(edges, nodes, n_iter=5).orderBy("node")
+
+
+def q_graph_degrees(spark, sf):
+    """In/out degree per node over the synthetic link graph."""
+    from gujarati_readability_pagewise_spark.operators.graph import degrees
+
+    _, edges = _synthetic_edges(spark, sf)
+    return degrees(edges).orderBy("node")
+
+
 def q_multimodal_features(spark, sf):
     """Multimodal column plumbing under the gate: opaque binary payloads +
     typed metadata through the mapInPandas batch featurizer (the decode
@@ -1613,6 +1656,50 @@ def _pipeline_features_oracle() -> str:
     """
 
 
+def _pagerank_oracle(n_iter: int = 5, scale: int = 10**9, d_num: int = 17, d_den: int = 20) -> str:
+    """DuckDB oracle for graph_pagerank: the same integer power iterations
+    unrolled as chained CTEs — BIGINT floor division everywhere, so the
+    match is exact, not approximate."""
+    parts = []
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        parts.append(f"""
+             c{k} AS (
+          SELECT e.dst AS node, sum(r.rank_fp // o.out_deg) AS s
+          FROM edges e
+          JOIN {prev} r ON r.node = e.src
+          JOIN outdeg o ON o.node = e.src
+          GROUP BY e.dst),
+             r{k} AS (
+          SELECT n.node,
+                 CAST(p.base + coalesce(({d_num} * c.s) // {d_den}, 0) AS BIGINT)
+                   AS rank_fp
+          FROM nodes n CROSS JOIN params p
+          LEFT JOIN c{k} c ON c.node = n.node)""")
+        prev = f"r{k}"
+    return f"""
+        WITH params AS (
+          SELECT count(*) AS n,
+                 CAST({scale} AS BIGINT) // count(*) AS r0,
+                 (CAST({scale} AS BIGINT) * {d_den - d_num})
+                   // ({d_den} * count(*)) AS base
+          FROM documents),
+             nodes AS (SELECT doc_id AS node FROM documents),
+             edges AS (
+          SELECT doc_id AS src, t.dst
+          FROM documents, params,
+               unnest([(doc_id * 7 + 13) % params.n,
+                       (doc_id * 31 + 7) % params.n,
+                       (doc_id * 13 + 101) % params.n]) t(dst)),
+             outdeg AS (SELECT src AS node, count(*) AS out_deg
+                        FROM edges GROUP BY src),
+             r0 AS (SELECT n.node, CAST(p.r0 AS BIGINT) AS rank_fp
+                    FROM nodes n CROSS JOIN params p),
+             {",".join(parts)}
+        SELECT node, rank_fp FROM {prev} ORDER BY node
+    """
+
+
 def _streaming_oracle() -> str:
     """DuckDB oracle for streaming_windowed_counts: the tumbling-window
     per-host aggregation computed as a plain batch query over documents —
@@ -1844,6 +1931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "streaming_dedup_urls": q_streaming_dedup_urls,
         "multimodal_features": q_multimodal_features,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_degrees": q_graph_degrees,
         "pipeline_extract": q_pipeline_extract,
         "pipeline_features": q_pipeline_features,
         "pipeline_score_summary": q_pipeline_score_summary,
@@ -2480,6 +2569,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pipeline_features": _pipeline_features_oracle(),
         "streaming_windowed_counts": _streaming_oracle(),
+        "graph_pagerank": _pagerank_oracle(),
+        "graph_degrees": """
+            WITH params AS (SELECT count(*) AS n FROM documents),
+                 edges AS (
+              SELECT doc_id AS src, t.dst
+              FROM documents, params,
+                   unnest([(doc_id * 7 + 13) % params.n,
+                           (doc_id * 31 + 7) % params.n,
+                           (doc_id * 13 + 101) % params.n]) t(dst)),
+                 o AS (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY src),
+                 i AS (SELECT dst AS node, count(*) AS in_deg FROM edges GROUP BY dst)
+            SELECT coalesce(o.node, i.node) AS node,
+                   CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg,
+                   CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg
+            FROM o FULL JOIN i ON o.node = i.node
+            ORDER BY node
+        """,
         "multimodal_features": """
             SELECT doc_id AS media_id,
                    CAST(doc_id % 640 + 64 AS INT) AS width,

@@ -43,3 +43,59 @@ def test_nonconvergence_raises_instead_of_splitting(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=2)
+
+
+def test_pagerank_fixedpoint_properties(spark):
+    """Fixed-point PageRank: mass conservation (up to floor loss), a pure
+    sink-free 3-regular graph keeps near-uniform ranks, and a node every
+    edge points at dominates a star graph."""
+    import pandas as pd
+    from pyspark.sql import functions as F2
+
+    from gujarati_readability_pagewise_spark.operators.graph import (
+        degrees,
+        pagerank_fixedpoint,
+    )
+
+    # star: everyone links to node 0
+    n = 20
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": list(range(1, n)), "dst": [0] * (n - 1)})
+    )
+    nodes = spark.createDataFrame(pd.DataFrame({"node": list(range(n))}))
+    r = pagerank_fixedpoint(edges, nodes, n_iter=5).toPandas().set_index("node")
+    assert r.loc[0, "rank_fp"] == r.rank_fp.max()
+    assert r.loc[0, "rank_fp"] > 5 * r.drop(0).rank_fp.max()
+    # leaves all equal (symmetry)
+    assert r.drop(0).rank_fp.nunique() == 1
+    # mass: total <= scale, and not degenerate
+    assert 0 < r.rank_fp.sum() <= 10**9
+
+    d = degrees(edges).toPandas().set_index("node")
+    assert d.loc[0, "in_deg"] == n - 1 and d.loc[0, "out_deg"] == 0
+    assert (d.drop(0).out_deg == 1).all()
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    """Integer arithmetic makes the result partitioning-independent —
+    the property that lets DuckDB hash-match the iterative Spark plan."""
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.operators.graph import (
+        pagerank_fixedpoint,
+    )
+
+    rows = [(i, (i * 7 + 3) % 50) for i in range(50)] + [
+        (i, (i * 11 + 1) % 50) for i in range(50)
+    ]
+    pdf = pd.DataFrame(rows, columns=["src", "dst"])
+    nodes = spark.createDataFrame(pd.DataFrame({"node": list(range(50))}))
+    a = (
+        pagerank_fixedpoint(spark.createDataFrame(pdf).repartition(1), nodes, 4)
+        .orderBy("node").toPandas()
+    )
+    b = (
+        pagerank_fixedpoint(spark.createDataFrame(pdf).repartition(16), nodes, 4)
+        .orderBy("node").toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
