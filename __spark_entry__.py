@@ -1324,6 +1324,62 @@ def q_streaming_windowed_counts(spark, sf):
     )
 
 
+def q_corpus_curation(spark, sf):
+    """The canonical C4/Gopher-style training-corpus curation pipeline in
+    ONE declarative pass: language-ID filter → quality threshold → length
+    band → exact dedup (lowest doc_id per content digest) → per-source
+    survival stats.  Every stage is an expression the optimizer can fuse;
+    the aggregate uses the fixed-point (×10⁴) average so the float math is
+    engine-exact (see memory rule: never round a raw float sum)."""
+    docs = load_table(spark, sf, "documents")
+    from gujarati_readability_pagewise_spark.functions.textstats import (
+        lang_id_expr,
+        quality_score_expr,
+    )
+
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        lang_id_expr(F.col("text")).alias("lang_pred"),
+        quality_score_expr(F.col("text")).alias("q"),
+        F.length("text").alias("n_chars"),
+    )
+    kept = scored.filter(
+        F.col("lang_pred").isin("gu", "hi", "en")
+        & (F.col("q") >= 0.55)
+        & (F.col("n_chars") >= 80)
+        & (F.col("n_chars") <= 20000)
+    )
+    w = W.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("source", F.floor(F.col("q") * 10000).cast("long").alias("q_fp"))
+    )
+    totals = scored.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            (F.floor(F.sum("q_fp").cast("double") / F.count("*")) / 10000.0).alias(
+                "avg_q"
+            ),
+        )
+        .join(totals, "source", "right")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.coalesce("n_kept", F.lit(0)) / F.col("n_docs").cast("double")).alias(
+                "kept_ratio"
+            ),
+            F.coalesce("avg_q", F.lit(0.0)).alias("avg_q"),
+        )
+        .orderBy("source")
+    )
+
+
 def _synthetic_edges(spark, sf):
     """Deterministic 3-out-degree link graph over the documents' doc_id
     space: dst = (src·k + c) mod N for three (k, c) pairs.  Same formula
@@ -1931,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "streaming_dedup_urls": q_streaming_dedup_urls,
         "multimodal_features": q_multimodal_features,
+        "corpus_curation": q_corpus_curation,
         "graph_pagerank": q_graph_pagerank,
         "graph_degrees": q_graph_degrees,
         "pipeline_extract": q_pipeline_extract,
@@ -2569,6 +2626,52 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pipeline_features": _pipeline_features_oracle(),
         "streaming_windowed_counts": _streaming_oracle(),
+        "corpus_curation": """
+            WITH scored AS (
+              SELECT doc_id, source, text,
+                     CASE
+                       WHEN (length(text) - length(regexp_replace(text, '[઀-૿]', '', 'g')))::DOUBLE
+                            / greatest(length(text), 1) > 0.3 THEN 'gu'
+                       WHEN (length(text) - length(regexp_replace(text, '[ऀ-ॿ]', '', 'g')))::DOUBLE
+                            / greatest(length(text), 1) > 0.3 THEN 'hi'
+                       WHEN (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
+                            / greatest(length(text), 1) > 0.4 THEN 'en'
+                       ELSE 'und' END AS lang_pred,
+                     least(greatest(
+                       0.4 * (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0
+                                   WHEN length(text) >= 20 THEN 0.5 ELSE 0.0 END)
+                       + 0.4 * ((length(text) - length(regexp_replace(text,
+                              '[A-Za-z઀-૿ऀ-ॿ]', '', 'g')))::DOUBLE / greatest(length(text), 1))
+                       - 0.2 * ((length(text) - length(regexp_replace(text,
+                              '[0-9!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE / greatest(length(text), 1))
+                       + 0.2, 0.0), 1.0) AS q,
+                     length(text) AS n_chars
+              FROM documents),
+                 kept AS (
+              SELECT * FROM scored
+              WHERE lang_pred IN ('gu', 'hi', 'en') AND q >= 0.55
+                AND n_chars BETWEEN 80 AND 20000),
+                 deduped AS (
+              SELECT source, CAST(floor(q * 10000) AS BIGINT) AS q_fp
+              FROM (SELECT source, q,
+                           row_number() OVER (PARTITION BY md5(text)
+                                              ORDER BY doc_id) AS rn
+                    FROM kept)
+              WHERE rn = 1),
+                 agg AS (
+              SELECT source, count(*) AS n_kept,
+                     floor(CAST(sum(q_fp) AS DOUBLE) / count(*)) / 10000.0 AS avg_q
+              FROM deduped GROUP BY source),
+                 totals AS (
+              SELECT source, count(*) AS n_docs FROM scored GROUP BY source)
+            SELECT t.source,
+                   CAST(t.n_docs AS BIGINT) AS n_docs,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   coalesce(a.n_kept, 0) / CAST(t.n_docs AS DOUBLE) AS kept_ratio,
+                   coalesce(a.avg_q, 0.0) AS avg_q
+            FROM totals t LEFT JOIN agg a ON a.source = t.source
+            ORDER BY t.source
+        """,
         "graph_pagerank": _pagerank_oracle(),
         "graph_degrees": """
             WITH params AS (SELECT count(*) AS n FROM documents),
