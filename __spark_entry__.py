@@ -1084,7 +1084,7 @@ def q_dedup_embedding(spark, sf):
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", cosine("ea", "eb", 64).alias("cos"))
+        .select("a", "b", cosine(F.col("ea"), F.col("eb")).alias("cos"))
         .filter(F.col("cos") > 0.38)
         .select("a", "b", _r(F.col("cos")).alias("cos_sim"))
         .orderBy("a", "b")
