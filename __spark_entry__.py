@@ -1324,6 +1324,23 @@ def q_streaming_windowed_counts(spark, sf):
     )
 
 
+def q_host_quota_sample(spark, sf):
+    """Per-host quota sampling (Common-Crawl politeness/domain-balance
+    cap): keep at most 15 docs per source, chosen by a cross-engine stable
+    hash order — deterministic under task retry, so DuckDB re-derives the
+    exact same sample (never rand())."""
+    from gujarati_readability_pagewise_spark.operators.sampling import (
+        host_quota_sample,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        host_quota_sample(docs, host_col="source", key_col="doc_id", k=15)
+        .select("source", "doc_id", "quota_rank")
+        .orderBy("source", "quota_rank")
+    )
+
+
 def q_corpus_curation(spark, sf):
     """The canonical C4/Gopher-style training-corpus curation pipeline in
     ONE declarative pass: language-ID filter → quality threshold → length
@@ -1988,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_urls": q_streaming_dedup_urls,
         "multimodal_features": q_multimodal_features,
         "corpus_curation": q_corpus_curation,
+        "host_quota_sample": q_host_quota_sample,
         "graph_pagerank": q_graph_pagerank,
         "graph_degrees": q_graph_degrees,
         "pipeline_extract": q_pipeline_extract,
@@ -2626,6 +2644,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pipeline_features": _pipeline_features_oracle(),
         "streaming_windowed_counts": _streaming_oracle(),
+        "host_quota_sample": """
+            WITH ranked AS (
+              SELECT source, doc_id,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                 || '#q0'), 1, 15))::BIGINT, doc_id) AS quota_rank
+              FROM documents)
+            SELECT source, doc_id, CAST(quota_rank AS INT) AS quota_rank
+            FROM ranked WHERE quota_rank <= 15
+            ORDER BY source, quota_rank
+        """,
         "corpus_curation": """
             WITH scored AS (
               SELECT doc_id, source, text,

@@ -1,0 +1,63 @@
+"""Deterministic sampling operators for corpus construction.
+
+Common-Crawl-style pipelines cap pages per host (politeness / anti-spam /
+domain-balance quotas) and draw stratified samples for labeling.  Both
+must be DETERMINISTIC — a ``rand()``-ordered sample changes under task
+retry and can never be oracle-checked; here the "random" order is a
+cross-engine stable hash of the row key (same construction as
+operators/dedup.stable_hash64), so the sample is a pure function of the
+data.
+
+Scale shape: one window over (host) ordered by the hash — a single
+shuffle on the host key; the skewed-host problem this creates at 10^12
+rows is exactly what AQE skew handling + operators/skew salting are for
+(a quota read path usually follows a host-bucketed layout anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["stable_order", "host_quota_sample", "stratified_fixed_n"]
+
+
+def stable_order(col: Column, seed: int = 0) -> Column:
+    """Deterministic pseudo-random sort key: 60-bit md5-derived int,
+    identical in Spark and DuckDB (see dedup.stable_hash64)."""
+    x = F.concat(col.cast("string"), F.lit(f"#q{seed}"))
+    return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+
+
+def host_quota_sample(
+    df: DataFrame,
+    host_col: str = "host",
+    key_col: str = "url",
+    k: int = 10,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep at most ``k`` rows per host, chosen by the stable hash order
+    of ``key_col`` (ties broken by the key itself).  Adds ``quota_rank``
+    (1-based within host)."""
+    w = W.partitionBy(host_col).orderBy(
+        stable_order(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("quota_rank", F.row_number().over(w))
+        .filter(F.col("quota_rank") <= k)
+    )
+
+
+def stratified_fixed_n(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    n_per_stratum: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly-n-per-stratum sample (labeling budgets want counts, not
+    fractions — ``sampleBy`` gives binomial sizes).  Same deterministic
+    hash-order construction; strata smaller than n keep all rows."""
+    return host_quota_sample(
+        df, host_col=stratum_col, key_col=key_col, k=n_per_stratum, seed=seed
+    )

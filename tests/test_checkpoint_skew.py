@@ -70,8 +70,9 @@ def test_rerun_of_completed_job_is_noop(spark, pages_df, dirs):
 
 
 def test_transform_kernel_runs_once_per_row(spark, pages_df, dirs):
-    """Manifest stats must ride the write action (Observation), not re-run
-    the transform: the kernel sees each input row exactly once."""
+    """Manifest stats must come from reading the written buckets back,
+    never from re-running the transform: the kernel sees each input row
+    exactly once."""
     out, man = dirs
     acc = spark.sparkContext.accumulator(0)
 
@@ -230,3 +231,26 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_host_quota_sample_deterministic_and_capped(spark, pages_df):
+    """Per-host quota: never more than k per host, deterministic across
+    runs and partitionings, and the planted hot host is capped too."""
+    from gujarati_readability_pagewise_spark.operators.sampling import (
+        host_quota_sample,
+    )
+
+    df = pages_df.withColumn("host", F.parse_url("url", F.lit("HOST")))
+    s1 = host_quota_sample(df, k=7).select("host", "url").toPandas()
+    assert s1.groupby("host").size().max() <= 7
+    assert (s1.groupby("host").size() > 0).all()
+    big = s1[s1.host == "big.example.gu"]
+    assert len(big) == 7  # the 32% host is capped at exactly k
+    s2 = (
+        host_quota_sample(df.repartition(16), k=7)
+        .select("host", "url")
+        .toPandas()
+    )
+    a = s1.sort_values(["host", "url"]).reset_index(drop=True)
+    b = s2.sort_values(["host", "url"]).reset_index(drop=True)
+    assert a.equals(b)  # hash order, not rand(): partitioning-independent
