@@ -164,6 +164,11 @@ def main() -> None:
         "dedup_exact",
         "text_quality",
         "similarity_topk",
+        # round-2 flagships: LSH-verified near-dup pipeline, link-graph
+        # PageRank, fused C4-style curation
+        "dedup_verified_pairs",
+        "graph_pagerank",
+        "corpus_curation",
     ):
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

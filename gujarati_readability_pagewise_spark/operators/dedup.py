@@ -217,10 +217,15 @@ def jaccard_on_candidates(
         .union(pair_keys.select(F.col("b").alias(key_col)))
         .distinct()
     )
-    sh = shingles.join(cand_keys, key_col, "left_semi")
-    sizes = sh.groupBy(key_col).agg(F.count("*").alias("sz"))
-    s1 = shingles.select(F.col(key_col).alias("a"), "shingle")
-    s2 = shingles.select(F.col(key_col).alias("b"), "shingle")
+    # Restrict the shingle stream to candidate docs ONCE and persist THAT:
+    # sizes, the a-side and the b-side all read it, and the restricted set
+    # is bounded by the candidate fraction of the corpus (persisting the
+    # full shingle table would not scale; persisting the LSH-surviving
+    # slice is exactly what a real near-dup verify stage materializes).
+    sh_cand = shingles.join(cand_keys, key_col, "left_semi").persist()
+    sizes = sh_cand.groupBy(key_col).agg(F.count("*").alias("sz"))
+    s1 = sh_cand.select(F.col(key_col).alias("a"), "shingle")
+    s2 = sh_cand.select(F.col(key_col).alias("b"), "shingle")
     inter = (
         pair_keys.join(s1, "a")  # expand each candidate pair by a's shingles
         .join(s2, ["b", "shingle"])  # keep only shingles present in b too
