@@ -173,6 +173,7 @@ def main() -> None:
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         queries[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()  # query isolation (see verify_contract)
     spark.stop()
 
     total = round(sum(queries.values()), 3)

@@ -77,6 +77,10 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # isolate queries: cached relations retained from a previous query
+        # measurably SLOW later runs of the dedup family (stale InMemory
+        # entries compete with fresh plans) — each query pays its own cost
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             spark_pdf = fn(spark, sf).toPandas()
