@@ -1329,6 +1329,26 @@ def q_streaming_windowed_counts(spark, sf):
     )
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (the GPT-3/Pile n-gram step): flag corpus
+    docs sharing ≥3 word-8-grams with any eval-set doc.  The synthetic
+    benchmark is every 10th doc verbatim (a planted leak), so each must
+    flag itself; the pair join is driven by the (small, broadcast) eval
+    shingle set — never corpus × corpus."""
+    from gujarati_readability_pagewise_spark.operators.decontaminate import (
+        contaminated_pairs,
+        word_ngrams,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 10 == 0)
+    return contaminated_pairs(
+        word_ngrams(docs, n=8),
+        word_ngrams(eval_set, n=8),
+        min_common=3,
+    ).select("corpus_id", "eval_id", "n_common")
+
+
 def q_host_quota_sample(spark, sf):
     """Per-host quota sampling (Common-Crawl politeness/domain-balance
     cap): keep at most 15 docs per source, chosen by a cross-engine stable
@@ -2015,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "corpus_curation": q_corpus_curation,
         "host_quota_sample": q_host_quota_sample,
+        "decontaminate": q_decontaminate,
         "graph_pagerank": q_graph_pagerank,
         "graph_degrees": q_graph_degrees,
         "pipeline_extract": q_pipeline_extract,
@@ -2653,6 +2674,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pipeline_features": _pipeline_features_oracle(),
         "streaming_windowed_counts": _streaming_oracle(),
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+              FROM documents),
+                 cg AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(arr[i : i + 7], ' ') AS ngram
+              FROM toks, unnest(range(1, greatest(len(arr) - 7, 0) + 1)) t(i)
+              WHERE length(array_to_string(arr[i : i + 7], ' ')) > 0),
+                 eg AS (SELECT doc_id, ngram FROM cg WHERE doc_id % 10 = 0)
+            SELECT cg.doc_id AS corpus_id, eg.doc_id AS eval_id,
+                   count(*) AS n_common
+            FROM cg JOIN eg USING (ngram)
+            GROUP BY 1, 2 HAVING count(*) >= 3
+        """,
         "host_quota_sample": """
             WITH ranked AS (
               SELECT source, doc_id,

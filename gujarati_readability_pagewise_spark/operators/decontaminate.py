@@ -1,0 +1,76 @@
+"""Benchmark decontamination: flag corpus docs that overlap an eval set.
+
+Training corpora must remove documents that leak evaluation data (the
+GPT-3/Pile n-gram decontamination step): a corpus doc is contaminated if
+it shares at least ``min_common`` word n-grams with any benchmark doc.
+
+Shape: word-n-gram shingles on BOTH sides, equi-join on the shingle, count
+per (corpus_doc, eval_doc) pair — the pair space is driven by the (small)
+eval side, so the join streams O(|eval shingles| · df(shingle)) rows and
+never touches corpus×corpus.  All expression-level (split + slide via
+transform over a sequence), no Python.
+
+At 10^12 docs: broadcast the eval shingle set when it fits (a benchmark
+suite is ~10^5 docs); otherwise hash-join on the shingle with the corpus
+side's shingles produced by the same narrow map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["word_ngrams", "contaminated_pairs", "decontaminate"]
+
+
+def word_ngrams(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """(key, ngram) pairs: distinct word n-grams, pure expressions."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return (
+        df.select(key_col, F.explode(grams).alias("ngram"))
+        .filter(F.length("ngram") > 0)
+        .distinct()
+    )
+
+
+def contaminated_pairs(
+    corpus_ngrams: DataFrame,
+    eval_ngrams: DataFrame,
+    min_common: int = 1,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(corpus doc, eval doc, n_common) for pairs sharing ≥ min_common
+    n-grams.  The eval side is broadcast (benchmark suites are small)."""
+    c = corpus_ngrams.select(F.col(key_col).alias("corpus_id"), "ngram")
+    e = eval_ngrams.select(F.col(key_col).alias("eval_id"), "ngram")
+    return (
+        c.join(F.broadcast(e), "ngram")
+        .groupBy("corpus_id", "eval_id")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 8,
+    min_common: int = 1,
+) -> DataFrame:
+    """Corpus minus contaminated docs (anti-join on the flagged set)."""
+    pairs = contaminated_pairs(
+        word_ngrams(corpus, text_col, key_col, n),
+        word_ngrams(eval_set, text_col, key_col, n),
+        min_common=min_common,
+        key_col=key_col,
+    )
+    flagged = pairs.select(F.col("corpus_id").alias(key_col)).distinct()
+    return corpus.join(flagged, key_col, "left_anti")

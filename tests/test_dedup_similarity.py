@@ -273,3 +273,26 @@ def test_unrolled_signature_and_cosine_bit_identical_to_fold(spark):
         cosine(F.col("ea"), F.col("eb")).alias("c_fold"),
     ).toPandas()
     assert (cc.c_unrolled == cc.c_fold).all()  # bitwise, not approx
+
+
+def test_decontaminate_removes_planted_leaks(spark, docs):
+    """A verbatim eval leak must be flagged and removed; clean docs
+    survive; the survivor set is the corpus anti-joined on flags."""
+    from gujarati_readability_pagewise_spark.operators.decontaminate import (
+        contaminated_pairs,
+        decontaminate,
+        word_ngrams,
+    )
+
+    eval_set = docs.filter(F.col("doc_id") == 0)  # doc 0 is the benchmark
+    pairs = contaminated_pairs(
+        word_ngrams(docs, n=5), word_ngrams(eval_set, n=5), min_common=3
+    ).toPandas()
+    flagged = set(pairs.corpus_id)
+    assert 0 in flagged and 1 in flagged  # doc 1 is a verbatim copy of 0
+    assert 2 in flagged  # near-dup shares plenty of 5-grams
+    assert 3 not in flagged and 4 not in flagged  # unrelated docs
+    clean = decontaminate(docs, eval_set, n=5, min_common=3)
+    survivors = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert survivors == {3, 4} | ({5} - flagged)
+    assert flagged.isdisjoint(survivors)
