@@ -1329,6 +1329,41 @@ def q_streaming_windowed_counts(spark, sf):
     )
 
 
+def q_sequence_chunks(spark, sf):
+    """Training-sequence prep: every doc's token stream chunked into fixed
+    64-token windows — (doc_id, chunk_idx, n_tokens, chunk_md5), all
+    expression-level (split + explode + slice), the shape a tokenize-and-
+    pack stage feeds to a trainer.  The md5 of each chunk's text makes the
+    oracle verify CONTENT, not just counts."""
+    docs = load_table(spark, sf, "documents")
+    d = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.expr("(size(toks) + 63) div 64").cast("int") - 1
+                )
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.least(F.lit(64), F.size("toks") - F.col("chunk_idx") * 64)
+            .cast("int")
+            .alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("toks"), F.col("chunk_idx") * 64 + 1, F.lit(64))
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination (the GPT-3/Pile n-gram step): flag corpus
     docs sharing ≥3 word-8-grams with any eval-set doc.  The synthetic
@@ -2036,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "host_quota_sample": q_host_quota_sample,
         "decontaminate": q_decontaminate,
+        "sequence_chunks": q_sequence_chunks,
         "graph_pagerank": q_graph_pagerank,
         "graph_degrees": q_graph_degrees,
         "pipeline_extract": q_pipeline_extract,
@@ -2674,6 +2710,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pipeline_features": _pipeline_features_oracle(),
         "streaming_windowed_counts": _streaming_oracle(),
+        "sequence_chunks": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+              FROM documents),
+                 c AS (
+              SELECT doc_id, arr, t.i AS chunk_idx
+              FROM toks, unnest(range(0, (len(arr) + 63) // 64)) t(i))
+            SELECT doc_id,
+                   CAST(chunk_idx AS INT) AS chunk_idx,
+                   CAST(least(64, len(arr) - chunk_idx * 64) AS INT) AS n_tokens,
+                   md5(array_to_string(arr[chunk_idx * 64 + 1 : chunk_idx * 64 + 64],
+                                       ' ')) AS chunk_md5
+            FROM c
+        """,
         "decontaminate": """
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
