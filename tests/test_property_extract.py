@@ -77,3 +77,58 @@ def test_segment_lowercase_fastpath_equals_slow_path(body):
     if any(c in html for c in "ſıµž"):
         return
     assert _segment(html, lower=True) == _segment(html, lower=False)
+
+
+def test_sql_extraction_oracle_matches_python_on_random_text(tmp_path):
+    """The DuckDB re-derivation behind the pipeline_extract gate row must
+    byte-match the Python kernel on RANDOM sentence structures, not just
+    the testdata generator's — including all-short documents that take the
+    'empty' branch and single-sentence docs with no rescue neighbors."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from gujarati_readability_pagewise_spark.functions.extract import extract_text
+    from gujarati_readability_pagewise_spark.sources.catalog import _POST, _PRE
+
+    rng = np.random.default_rng(99)
+
+    def word():
+        return "".join(
+            chr(97 + int(rng.integers(0, 26))) for _ in range(int(rng.integers(1, 9)))
+        )
+
+    def sentence(lo, hi):
+        return " ".join(word() for _ in range(int(rng.integers(lo, hi)))) + "."
+
+    texts = []
+    for i in range(120):
+        kind = i % 4
+        if kind == 0:  # normal: mixed-length paragraphs
+            texts.append(" ".join(sentence(1, 15) for _ in range(int(rng.integers(1, 8)))))
+        elif kind == 1:  # all short: everything below the keep threshold
+            texts.append(" ".join(sentence(1, 3) for _ in range(int(rng.integers(1, 5)))))
+        elif kind == 2:  # single long sentence
+            texts.append(sentence(8, 30))
+        else:  # rescue shapes: short para sandwiched by long ones
+            texts.append(" ".join([sentence(9, 12), sentence(3, 7), sentence(9, 12)]))
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(texts)), "source": "rnd", "text": texts}
+    )
+    parquet = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(parquet)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{parquet}')")
+    got = con.execute(entry.oracle_sql()["pipeline_extract"]).df()
+
+    for _, row in got.iterrows():
+        doc_id = int(row.url.split("/doc/")[1].split("-")[0])
+        html = (_PRE + texts[doc_id].replace(". ", ".</p><p>") + _POST).encode()
+        res = extract_text(html)
+        assert row.text_md5 == hashlib.md5(res.text.encode()).hexdigest(), doc_id
+        assert row.extract_status == res.status, doc_id
+        assert row.n_text_chars == len(res.text), doc_id
