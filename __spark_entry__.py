@@ -1077,6 +1077,34 @@ def q_dedup_verified_pairs(spark, sf):
     )
 
 
+def q_dedup_verified_components(spark, sf):
+    """Near-dup CLUSTERS over VERIFIED edges: connected components on the
+    exact-Jaccard(≥0.5)-verified pair set instead of raw LSH candidates —
+    one LSH false positive would otherwise glue two unrelated clusters
+    together forever.  The full production dedup shape: LSH prune →
+    pair-driven exact verify → min-label clustering, every stage below the
+    quadratic cliff."""
+    from gujarati_readability_pagewise_spark.operators.components import (
+        connected_components,
+    )
+    from gujarati_readability_pagewise_spark.operators.dedup import (
+        char_shingles,
+        jaccard_on_candidates,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    par = spark.sparkContext.defaultParallelism
+    sh = char_shingles(docs, "text", "doc_id", k=5, n_partitions=par)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(sh, "doc_id", n_hashes=16), "doc_id", bands=4
+    )
+    verified = jaccard_on_candidates(sh, cands, "doc_id")
+    edges = verified.filter(F.col("jaccard") >= 0.5).select("a", "b")
+    return connected_components(edges)
+
+
 def q_dedup_embedding(spark, sf):
     """Embedding-cosine near-dup pairs (dedup family, ANN-verified shape).
 
@@ -2061,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_recall": q_similarity_lsh_recall,
         "asof_join": q_asof_join,
         "dedup_components": q_dedup_components,
+        "dedup_verified_components": q_dedup_verified_components,
         "url_canonicalize": q_url_canonicalize,
         "recrawl_diff": q_recrawl_diff,
         "layout_spans": q_layout_spans,
@@ -2529,6 +2558,60 @@ def oracle_sql() -> dict[str, str]:
                             AND NOT starts_with(p, 'ref='))), '&') AS canon_q
               FROM noisy)
             ORDER BY doc_id
+        """,
+        "dedup_verified_components": """
+            WITH RECURSIVE shingles AS (
+              SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+              FROM documents, unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS t(i)
+              WHERE length(substr(text, i, 5)) = 5),
+                 sig AS (
+              SELECT doc_id,
+                     [min(('0x' || substr(md5(shingle || '#0'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#1'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#2'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#3'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#4'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#5'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#6'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#7'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#8'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#9'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#10'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#11'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#12'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#13'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#14'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#15'), 1, 15))::BIGINT)] AS sig
+              FROM shingles GROUP BY doc_id),
+                 banded AS (
+              SELECT doc_id AS k, b.band,
+                     md5(array_to_string(sig[b.band*4 + 1 : b.band*4 + 4], ',')) AS bh
+              FROM sig, unnest([0, 1, 2, 3]) AS b(band)),
+                 cands AS (
+              SELECT DISTINCT a.k AS a, b.k AS b
+              FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+              WHERE a.k < b.k),
+                 sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+                 inter AS (
+              SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS n_common
+              FROM shingles s1 JOIN shingles s2 USING (shingle)
+              WHERE s1.doc_id < s2.doc_id GROUP BY 1, 2),
+                 vp AS (
+              SELECT i.a, i.b
+              FROM inter i
+              JOIN sizes za ON za.doc_id = i.a
+              JOIN sizes zb ON zb.doc_id = i.b
+              WHERE EXISTS (SELECT 1 FROM cands c WHERE c.a = i.a AND c.b = i.b)
+                AND i.n_common::DOUBLE / (za.sz + zb.sz - i.n_common) >= 0.5),
+                 edges AS (SELECT a AS src, b AS dst FROM vp
+                           UNION SELECT b, a FROM vp),
+                 nodes AS (SELECT DISTINCT src AS n FROM edges),
+                 reach(n, m) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src)
+            SELECT n AS doc_id, min(m) AS component
+            FROM reach GROUP BY n ORDER BY doc_id
         """,
         "dedup_components": """
             WITH RECURSIVE shingles AS (
