@@ -26,12 +26,22 @@ __all__ = ["word_ngrams", "contaminated_pairs", "decontaminate"]
 def word_ngrams(
     df: DataFrame, text_col: str = "text", key_col: str = "doc_id", n: int = 8
 ) -> DataFrame:
-    """(key, ngram) pairs: distinct word n-grams, pure expressions."""
+    """(key, ngram) pairs: distinct word n-grams, pure expressions.
+
+    Docs shorter than ``n`` tokens contribute zero n-grams: the window
+    sequence is guarded by a CASE so it is never built descending
+    (``sequence(1, 0)`` yields ``[1, 0]`` and ``slice(toks, 0, n)`` throws
+    INVALID_PARAMETER_VALUE.START on Spark 4.x) — short/empty docs are
+    routine in crawl corpora.
+    """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(key_col, F.explode(grams).alias("ngram"))
         .filter(F.length("ngram") > 0)

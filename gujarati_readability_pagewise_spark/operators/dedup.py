@@ -37,7 +37,42 @@ __all__ = [
     "simhash_bands",
     "simhash_candidates",
     "simhash_near_pairs",
+    "release_persisted",
 ]
+
+# ``lsh_candidate_pairs`` / ``jaccard_on_candidates`` persist small
+# intermediates that the returned (lazy) plan references, so they cannot be
+# unpersisted before the caller's action runs.  Every such persist is
+# registered here; long-lived sessions call ``release_persisted()`` after
+# the consuming action (or ``spark.catalog.clearCache()``, which the bench
+# and the contract gate already do per query) to avoid accumulating cached
+# partitions until LRU pressure.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every intermediate cached by this module's operators.
+
+    Safe to call at any time after the consuming action; returns the number
+    of DataFrames released.  Composed pipelines that invoke the dedup
+    cascade more than once per session (e.g. verified-components runs
+    LSH + verify twice) should call this between invocations.
+    """
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 def stable_hash64(col: Column, seed: int | None = None) -> Column:
@@ -128,15 +163,37 @@ def lsh_candidate_pairs(
     if n_hashes % bands:
         raise ValueError(f"n_hashes={n_hashes} not divisible by bands={bands}")
     r = n_hashes // bands
-    structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",", *[F.col("sig")[b * r + i].cast("string") for i in range(r)]
-                )
-            ).alias("bh"),
+
+    def _band_hash(b: int):
+        h = F.md5(
+            F.concat_ws(
+                ",", *[F.col("sig")[b * r + i].cast("string") for i in range(r)]
+            )
         )
+        if b != 0:
+            return h
+        # Runtime invariant (band 0 only, so it costs one branch per row and
+        # cannot be pruned — it is load-bearing in the output): the unrolled
+        # indices assume size(sig) == n_hashes.  A shorter signature would
+        # make every sig[i] past the end NULL and concat_ws silently drop it
+        # (all docs collide into identical band hashes → all-pairs
+        # explosion); a longer one would silently ignore hashes.  Fail loud
+        # on the first mismatched row instead.
+        return F.when(F.size("sig") == n_hashes, h).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"lsh_candidate_pairs: size(sig) != n_hashes={n_hashes}"
+                        " (signature/band arguments out of sync; got "
+                    ),
+                    F.size("sig").cast("string"),
+                    F.lit(")"),
+                )
+            )
+        )
+
+    structs = [
+        F.struct(F.lit(b).alias("band"), _band_hash(b).alias("bh"))
         for b in range(bands)
     ]
     banded = sig.select(
@@ -145,7 +202,7 @@ def lsh_candidate_pairs(
     # The banded table is tiny (bands × rows, ~40 B/row) but its lineage is
     # the whole shingle+minhash pipeline; persist it so the self-join's two
     # sides don't each recompute 16 md5 min-aggregations over the corpus.
-    banded = banded.persist()
+    banded = _persist(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -211,7 +268,7 @@ def jaccard_on_candidates(
     contract as ``jaccard_pairs`` filtered to candidates:
     (a, b, n_common, jaccard).
     """
-    pair_keys = cands.select("a", "b").persist()
+    pair_keys = _persist(cands.select("a", "b"))
     cand_keys = (
         pair_keys.select(F.col("a").alias(key_col))
         .union(pair_keys.select(F.col("b").alias(key_col)))
@@ -222,7 +279,7 @@ def jaccard_on_candidates(
     # is bounded by the candidate fraction of the corpus (persisting the
     # full shingle table would not scale; persisting the LSH-surviving
     # slice is exactly what a real near-dup verify stage materializes).
-    sh_cand = shingles.join(cand_keys, key_col, "left_semi").persist()
+    sh_cand = _persist(shingles.join(cand_keys, key_col, "left_semi"))
     sizes = sh_cand.groupBy(key_col).agg(F.count("*").alias("sz"))
     s1 = sh_cand.select(F.col(key_col).alias("a"), "shingle")
     s2 = sh_cand.select(F.col(key_col).alias("b"), "shingle")

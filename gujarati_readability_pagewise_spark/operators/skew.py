@@ -15,7 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "heavy_hitters_approx", "salted_summary"]
+from .dedup import stable_hash64
+
+__all__ = [
+    "heavy_hitters",
+    "heavy_hitters_approx",
+    "heavy_hitters_hash_sampled",
+    "salted_summary",
+]
 
 
 def heavy_hitters(df: DataFrame, key: str, min_share: float = 0.1) -> DataFrame:
@@ -61,6 +68,46 @@ def heavy_hitters_approx(
         .agg(F.count("*").alias("n_sampled"))
         .withColumn("share_est", F.col("n_sampled") / F.lit(float(n)))
         .filter(F.col("share_est") >= min_share * safety)
+    )
+
+
+def heavy_hitters_hash_sampled(
+    df: DataFrame,
+    key: str,
+    sample_on: str,
+    min_share: float = 0.1,
+    mod: int = 50,
+    seed: int = 7,
+    safety: float = 0.5,
+) -> DataFrame:
+    """Sampled heavy-hitter detection with a CONTENT-deterministic sample.
+
+    Same cost shape as ``heavy_hitters_approx`` (one partial scan, shuffle
+    only the sampled keys) but the 1/``mod`` sample is selected by
+    ``stable_hash64(sample_on, seed) % mod == 0`` instead of ``rand()`` —
+    so task retries, repartitioning, and re-runs all see the SAME sample
+    (Bernoulli ``sample()`` is partition-order dependent), and the whole
+    detection is expressible in plain SQL for cross-engine verification.
+    At 10^12 rows this determinism is what makes the skew pre-pass safe to
+    resume from a checkpoint: a retried stage cannot flip which keys got
+    salted.
+
+    ``sample_on`` must be a (near-)unique row identifier column (cast to
+    string internally); keys are kept at ``min_share * safety`` — the
+    one-sided slack absorbs sampling error exactly as in
+    ``heavy_hitters_approx``.  Output: (key, n_sampled, share_est).
+    """
+    sampled = df.filter(
+        F.pmod(stable_hash64(F.col(sample_on).cast("string"), seed=seed), F.lit(mod))
+        == 0
+    ).select(key)
+    counts = sampled.groupBy(key).agg(F.count("*").alias("n_sampled"))
+    total = sampled.agg(F.count("*").alias("_tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share_est", F.col("n_sampled") / F.col("_tot").cast("double"))
+        .filter(F.col("share_est") >= min_share * safety)
+        .drop("_tot")
     )
 
 

@@ -99,3 +99,33 @@ def test_pagerank_deterministic_across_partitionings(spark):
         .orderBy("node").toPandas()
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pagerank_deep_iteration_flat_plan(spark):
+    """n_iter=20 must be practical: the loop-invariant edges⋈outdeg join is
+    hoisted and ranks are localCheckpoint-ed every 5 iterations, so the
+    logical plan of the result stays FLAT (bounded by the trailing
+    un-checkpointed window) instead of growing with n_iter — and deep
+    iteration agrees with itself under different partitionings."""
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.operators.graph import (
+        pagerank_fixedpoint,
+    )
+
+    rows = [(i, (i * 7 + 3) % 30) for i in range(30)] + [
+        (i, (i * 11 + 1) % 30) for i in range(30)
+    ]
+    pdf = pd.DataFrame(rows, columns=["src", "dst"])
+    nodes = spark.createDataFrame(pd.DataFrame({"node": list(range(30))}))
+    edges = spark.createDataFrame(pdf)
+
+    plan10 = pagerank_fixedpoint(edges, nodes, n_iter=10)._jdf.queryExecution().logical().toString()
+    plan20 = pagerank_fixedpoint(edges, nodes, n_iter=20)._jdf.queryExecution().logical().toString()
+    # both end with the same 5-iteration un-checkpointed tail -> same size
+    # (without the checkpoint the 20-iter plan would be ~2x the 10-iter one)
+    assert len(plan20) < 1.2 * len(plan10)
+
+    a = pagerank_fixedpoint(edges.repartition(1), nodes, n_iter=20).orderBy("node").toPandas()
+    b = pagerank_fixedpoint(edges.repartition(16), nodes, n_iter=20).orderBy("node").toPandas()
+    pd.testing.assert_frame_equal(a, b)

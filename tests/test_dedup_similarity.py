@@ -296,3 +296,53 @@ def test_decontaminate_removes_planted_leaks(spark, docs):
     survivors = {r["doc_id"] for r in clean.select("doc_id").collect()}
     assert survivors == {3, 4} | ({5} - flagged)
     assert flagged.isdisjoint(survivors)
+
+
+def test_word_ngrams_short_docs_yield_zero_grams(spark):
+    """Docs with fewer than n whitespace tokens (routine in crawl corpora)
+    must contribute zero n-grams, not crash: the unguarded form built
+    sequence(1, 0) == [1, 0] and slice(toks, 0, n) throws
+    INVALID_PARAMETER_VALUE.START on Spark 4.x."""
+    from gujarati_readability_pagewise_spark.operators.decontaminate import (
+        decontaminate,
+        word_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b"), (4, "one two three four five six seven eight nine")],
+        "doc_id int, text string",
+    )
+    grams = word_ngrams(docs, n=8).toPandas()
+    assert set(grams.doc_id) == {4}  # only the 9-token doc produces 8-grams
+    assert len(grams) == 2
+    ev = spark.createDataFrame(
+        [(100, "two three four five six seven eight nine")], "doc_id int, text string"
+    )
+    clean = decontaminate(docs, ev, n=8, min_common=1)
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 2, 3]
+
+
+def test_lsh_candidate_pairs_rejects_mismatched_signature_length(spark):
+    """size(sig) != n_hashes must fail loud, not silently band on NULLs
+    (shorter sigs collide everything; longer sigs ignore hashes)."""
+    bad = spark.createDataFrame(
+        [(1, [1, 2]), (2, [3, 4])], "doc_id int, sig array<int>"
+    )
+    with pytest.raises(Exception, match="size\\(sig\\) != n_hashes"):
+        lsh_candidate_pairs(bad, bands=2, n_hashes=4).collect()
+
+
+def test_release_persisted_unpersists_intermediates(spark, docs):
+    """The dedup cascade registers its persisted intermediates; callers in
+    long-lived sessions release them after the consuming action."""
+    from gujarati_readability_pagewise_spark.operators import dedup as D
+
+    D.release_persisted()  # drain whatever earlier tests left
+    sh = char_shingles(docs, k=5)
+    cands = lsh_candidate_pairs(minhash_signatures(sh, n_hashes=16), bands=4)
+    verified = jaccard_on_candidates(sh, cands, min_jaccard=0.5)
+    verified.count()  # consuming action — caches are now populated
+    assert len(D._PERSISTED) >= 3
+    released = D.release_persisted()
+    assert released >= 3
+    assert not D._PERSISTED
