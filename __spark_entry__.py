@@ -1308,14 +1308,24 @@ def q_layout_spans(spark, sf):
 
 
 def q_similarity_ivf_topk(spark, sf):
-    """IVF (k-means inverted-file) ANN top-k — the FAISS-style scale path;
-    rows-only (k-means isn't SQL-expressible).  Exact re-rank on probed
-    cells; test proves n_probe == n_cells ≡ brute force."""
-    from gujarati_readability_pagewise_spark.operators.similarity import ivf_topk
+    """IVF (inverted-file) ANN top-k — the FAISS-style scale path — now
+    FULLY oracle-checked: the coarse quantizer is a deterministic
+    fixed-point integer Lloyd k-means (operators/similarity.
+    ivf_train_fixedpoint), so DuckDB re-derives the ENTIRE path bit-for-bit
+    — 3 unrolled training iterations (integer distances, integer-mean
+    updates, (d2, cell) tie-breaks), corpus assignment, 2-cell probe, and
+    the exact cosine re-rank (float-multiply/double-accumulate parity).
+    The Spark ML k-means variant (ivf_topk) stays pytest-covered
+    (full-probe ≡ brute force)."""
+    from gujarati_readability_pagewise_spark.operators.similarity import (
+        ivf_topk_deterministic,
+    )
 
     emb = load_table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, q, k=3, n_cells=16, n_probe=4, dim=64).orderBy("q_id", "rk")
+    return ivf_topk_deterministic(
+        emb, q, k=3, n_cells=8, n_probe=2, n_iter=3, dim=64
+    ).select("q_id", "c_id", _r(F.col("cos_sim")).alias("cos_sim"), "rk")
 
 
 def q_streaming_windowed_counts(spark, sf):
@@ -1655,15 +1665,54 @@ def q_pipeline_features(spark, sf):
 
 
 def q_pipeline_score_summary(spark, sf):
+    """Broadcast-RF scoring under the FULL oracle (formerly rows-only): the
+    DuckDB oracle re-derives the extracted text and the 12 features
+    (pipeline_features CTEs), then evaluates the seed-pinned forest's
+    decision paths exported as nested CASE expressions (ml/rf.
+    forest_to_sql — left-associative tree sum, bit-identical to numpy's
+    ``p0 += tree`` loop; verified on the full training matrix).  The
+    per-host rollup uses fixed-point integers (p_fp = floor(p·10⁶)) so
+    sums/avgs are order-insensitive exact arithmetic — the float avg/std
+    form of host_summary stays in plans/reports for the report surface.
+    host_prediction is the book-decision rule (mean non-readable > 0.5 →
+    flagged 0) as an integer cross-multiplication."""
     from gujarati_readability_pagewise_spark.ml.train import default_model
-    from gujarati_readability_pagewise_spark.operators.aggregate import host_summary
+    from gujarati_readability_pagewise_spark.operators.split import host_of
     from gujarati_readability_pagewise_spark.operators.udfs import (
         with_extraction_and_score,
     )
 
     pages = pages_from_documents(spark, sf)
     scored = with_extraction_and_score(pages, default_model())
-    return host_summary(scored, label_col=None).orderBy("host")
+    p_fp = F.floor(F.col("p_nonreadable") * 1000000).cast("long")
+    return (
+        scored.select(
+            host_of(F.col("url")).alias("host"),
+            p_fp.alias("p_fp"),
+            F.col("pred_label").cast("long").alias("pred_label"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("total_pages"),
+            F.sum("p_fp").alias("sum_p_fp"),
+            F.min("p_fp").alias("min_p_fp"),
+            F.max("p_fp").alias("max_p_fp"),
+            F.sum("pred_label").alias("n_pred_readable"),
+        )
+        .select(
+            "host",
+            "total_pages",
+            F.expr("sum_p_fp div total_pages").alias("avg_p_fp"),
+            "min_p_fp",
+            "max_p_fp",
+            "n_pred_readable",
+            F.when(
+                F.col("sum_p_fp") * 2 > F.lit(1000000) * F.col("total_pages"), 0
+            )
+            .otherwise(1)
+            .alias("host_prediction"),
+        )
+    )
 
 
 def q_report_roc_points(spark, sf):
@@ -1754,7 +1803,124 @@ def _cos_sql(a: str = "a.embedding", b: str = "b.embedding") -> str:
     )
 
 
-def _pipeline_features_oracle() -> str:
+def _ivf_oracle(
+    n_cells: int = 8,
+    n_iter: int = 3,
+    n_probe: int = 2,
+    k: int = 3,
+    dim: int = 64,
+    fp_scale: int = 1 << 20,
+    n_queries: int = 5,
+) -> str:
+    """DuckDB oracle for similarity_ivf_topk: re-derives the WHOLE
+    deterministic IVF path — fixed-point integer Lloyd training unrolled
+    as chained CTEs (assignment by integer d2 with (d2, cell) tie-break,
+    integer-mean centroid update with truncating division, empty cells
+    keep their previous centroid), final corpus assignment, the n_probe
+    nearest-cell probe per query, and the exact cosine re-rank with
+    Spark-precision floats (see _cos_sql).  Mirrors operators/similarity.
+    ivf_train_fixedpoint / ivf_topk_deterministic parameter-for-parameter.
+    """
+    efp = (
+        f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {fp_scale})"
+        " AS BIGINT))"
+    )
+    d2 = (
+        "list_sum(list_transform(list_zip(e.efp, c.cent),"
+        " p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    mean_arr = "[" + ", ".join(
+        f"CAST(sum(e.efp[{d + 1}]) // count(*) AS BIGINT)" for d in range(dim)
+    ) + "]"
+    ctes = [
+        f"e AS (SELECT vec_id, {efp} AS efp FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cell, efp AS cent FROM e WHERE vec_id < {n_cells})",
+    ]
+    for t in range(n_iter):
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, cell FROM ("
+            f" SELECT e.vec_id, c.cell,"
+            f" row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cell) AS rn"
+            f" FROM e JOIN c{t} c ON TRUE) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{t} AS (SELECT a.cell, {mean_arr} AS cent"
+            f" FROM a{t} a JOIN e ON e.vec_id = a.vec_id GROUP BY a.cell)"
+        )
+        ctes.append(
+            f"c{t + 1} AS (SELECT p.cell, COALESCE(m.cent, p.cent) AS cent"
+            f" FROM c{t} p LEFT JOIN m{t} m ON m.cell = p.cell)"
+        )
+    ctes.append(
+        f"af AS (SELECT vec_id, cell FROM ("
+        f" SELECT e.vec_id, c.cell,"
+        f" row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cell) AS rn"
+        f" FROM e JOIN c{n_iter} c ON TRUE) WHERE rn = 1)"
+    )
+    ctes.append(
+        f"qp AS (SELECT q_id, cell FROM ("
+        f" SELECT e.vec_id AS q_id, c.cell,"
+        f" row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cell) AS rn"
+        f" FROM e JOIN c{n_iter} c ON TRUE WHERE e.vec_id < {n_queries})"
+        f" WHERE rn <= {n_probe})"
+    )
+    ctes.append(
+        "cands AS (SELECT qp.q_id, af.vec_id AS c_id"
+        " FROM qp JOIN af ON af.cell = qp.cell WHERE af.vec_id <> qp.q_id)"
+    )
+    ctes.append(
+        f"scored AS (SELECT cd.q_id, cd.c_id, {_cos_sql()} AS cos"
+        " FROM cands cd"
+        " JOIN embeddings a ON a.vec_id = cd.q_id"
+        " JOIN embeddings b ON b.vec_id = cd.c_id)"
+    )
+    ctes.append(
+        "ranked AS (SELECT q_id, c_id, cos,"
+        " row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rk"
+        " FROM scored)"
+    )
+    return (
+        "WITH " + ",\n ".join(ctes)
+        + f" SELECT q_id, c_id, round(cos, 4) AS cos_sim, CAST(rk AS INT) AS rk"
+        f" FROM ranked WHERE rk <= {k} ORDER BY q_id, rk"
+    )
+
+
+def _score_summary_oracle() -> str:
+    """DuckDB oracle for pipeline_score_summary: features re-derived via
+    the pipeline_features CTEs, P(non-readable) re-derived by evaluating
+    the pinned forest's decision paths (ml/rf.forest_to_sql — float-parity
+    with the numpy scorer), then the same fixed-point per-host rollup.
+    This retires the last ML rows-only check: the whole
+    extract → features → broadcast-RF score → rollup path is now under the
+    hard value gate."""
+    from gujarati_readability_pagewise_spark.functions.features import FEATURE_NAMES
+    from gujarati_readability_pagewise_spark.ml.rf import forest_to_sql
+    from gujarati_readability_pagewise_spark.ml.train import default_model
+
+    p_sql = forest_to_sql(default_model(), FEATURE_NAMES)
+    feats = _pipeline_features_oracle(order_by=False)
+    return f"""
+        WITH feats AS ({feats}),
+             scored AS (
+          SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+                 CAST(floor(({p_sql}) * 1000000) AS BIGINT) AS p_fp,
+                 CASE WHEN (1.0e0 - ({p_sql})) >= ({p_sql}) THEN 1 ELSE 0 END
+                   AS pred_label
+          FROM feats)
+        SELECT host,
+               count(*) AS total_pages,
+               CAST(CAST(sum(p_fp) AS BIGINT) // count(*) AS BIGINT) AS avg_p_fp,
+               min(p_fp) AS min_p_fp,
+               max(p_fp) AS max_p_fp,
+               CAST(sum(pred_label) AS BIGINT) AS n_pred_readable,
+               CASE WHEN CAST(sum(p_fp) AS BIGINT) * 2 > 1000000 * count(*)
+                    THEN 0 ELSE 1 END AS host_prediction
+        FROM scored GROUP BY host
+    """
+
+
+def _pipeline_features_oracle(order_by: bool = True) -> str:
     """DuckDB oracle for pipeline_features: re-derive the extracted text
     (same CTEs as the pipeline_extract oracle), then every feature as an
     integer-count ratio.  The akshara grammar and stopword list are taken
@@ -1842,7 +2008,7 @@ def _pipeline_features_oracle() -> str:
           CASE WHEN n_chars > 0
                THEN n_guj / greatest(n_chars, 1)::DOUBLE ELSE 0 END
             AS gujarati_char_ratio
-        FROM f ORDER BY url
+        FROM f {("ORDER BY url" if order_by else "")}
     """
 
 
@@ -2212,6 +2378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "similarity_ivf_topk": _ivf_oracle(),
+        "pipeline_score_summary": _score_summary_oracle(),
         "tpch_q13": """
             SELECT c_count, count(*) AS custdist FROM (
               SELECT c.c_custkey, count(o.o_orderkey) AS c_count

@@ -151,8 +151,21 @@ def _segment(html: str, lower: bool = False) -> list[tuple]:
     blocks: list[tuple] = []
     clean = _clean_words
     append = blocks.append
+    sub_entity = _RE_ENTITY.sub
     for raw in block_split.split(html):
-        if not raw or raw.isspace():
+        if not raw:
+            continue
+        # Fast path for the common case — a block with no '<' has no inline
+        # tags and no anchors, so the whole tag/anchor machinery is skipped
+        # (body paragraphs are exactly this after the block split); the
+        # branch is output-identical to the general path by construction.
+        if "<" not in raw:
+            if "&" in raw:
+                raw = sub_entity(_decode_entity, raw)
+            words = raw.split()
+            if not words:
+                continue
+            append((" ".join(words), len(words), 0.0))
             continue
         # words inside anchors, before stripping tags from the whole block
         link_words = 0

@@ -215,3 +215,44 @@ class RandomForest:
                     imp[f] += 1.0
         s = imp.sum()
         return imp / s if s > 0 else imp
+
+
+def tree_to_sql(tree: DecisionTree, cols: list[str]) -> str:
+    """The tree's decision path as a nested SQL CASE expression.
+
+    Semantics mirror ``predict_p0`` exactly: go left iff
+    ``feature <= threshold`` (NaN compares false → right branch in numpy;
+    SQL CASE falls to ELSE → right branch too), leaf yields its P(class 0).
+    Thresholds/probas are emitted via ``repr(float)`` with an explicit
+    ``e0`` exponent: a bare 17-digit literal parses as DECIMAL in DuckDB
+    (decimal arithmetic then drifts from float64 by an ulp); the exponent
+    forces a DOUBLE parse, and repr round-trips to the identical double.
+    """
+
+    def lit(x: float) -> str:
+        r = repr(float(x))
+        return r if ("e" in r or "inf" in r or "nan" in r) else r + "e0"
+
+    def node(i: int) -> str:
+        if tree.feature[i] == _LEAF:
+            return lit(tree.proba0[i])
+        return (
+            f"CASE WHEN {cols[int(tree.feature[i])]} <= "
+            f"{lit(tree.threshold[i])} THEN {node(int(tree.left[i]))} "
+            f"ELSE {node(int(tree.right[i]))} END"
+        )
+
+    return node(0)
+
+
+def forest_to_sql(model: RandomForest, cols: list[str]) -> str:
+    """``P(non-readable)`` as one SQL expression — the decision-path export
+    that lets a SQL oracle re-derive broadcast-RF scores bit-for-bit.
+
+    Float-parity with ``predict_proba``: the per-tree CASE terms are summed
+    LEFT-ASSOCIATIVELY starting from 0.0 (exactly the ``p0 += tree`` loop)
+    and divided by the tree count, so every intermediate double matches the
+    numpy accumulation.
+    """
+    terms = " + ".join(f"({tree_to_sql(t, cols)})" for t in model.trees)
+    return f"((0.0e0 + {terms}) / {float(max(len(model.trees), 1))!r}e0)"

@@ -33,6 +33,8 @@ __all__ = [
     "lsh_topk",
     "lsh_near_pairs",
     "ivf_topk",
+    "ivf_train_fixedpoint",
+    "ivf_topk_deterministic",
 ]
 
 
@@ -233,6 +235,174 @@ def ivf_topk(
             cosine("q_emb", "c_emb", dim).alias("cos_sim"),
         )
         .distinct()
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "cos_sim", "rk")
+    )
+
+
+def _fp_expr(vec_col: str, dim: int, fp_scale: int) -> str:
+    """SQL for the fixed-point (scaled BIGINT) image of a float vector.
+    floor(double(x)·S) is exact and identical across engines."""
+    return (
+        "array("
+        + ", ".join(
+            f"CAST(floor(CAST({vec_col}[{d}] AS DOUBLE) * {fp_scale}) AS BIGINT)"
+            for d in range(dim)
+        )
+        + ")"
+    )
+
+
+def _d2_fp(efp, cent):
+    """Integer squared L2 distance between two BIGINT fixed-point vectors —
+    order-insensitive exact arithmetic (sum of products of longs)."""
+    return F.aggregate(
+        F.zip_with(efp, cent, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — Spark ``div`` and DuckDB
+    ``//`` semantics (python ``//`` floors, which differs for negatives)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def ivf_train_fixedpoint(
+    emb: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    fp_scale: int = 1 << 20,
+) -> dict[int, list[int]]:
+    """Deterministic Lloyd k-means over fixed-point integer vectors.
+
+    Returns {cell: centroid} with centroids as scaled-BIGINT lists (tiny:
+    n_cells × dim — driver-side by design, exactly like a FAISS coarse
+    quantizer trained once and frozen).  Every operation is integer
+    arithmetic: the fixed-point image floor(double(x)·S) is exact, squared
+    distances and per-cell sums are BIGINT (order-insensitive), and the
+    centroid update is integer mean (truncating division).  Hence the
+    trained centroids are independent of partitioning, task retries, and
+    engine — a DuckDB oracle re-derives them bit-for-bit, and a resumed
+    job re-trains to the identical quantizer.  Cells init from the
+    ``n_cells`` lowest-id vectors; a cell that loses all members keeps its
+    previous centroid.
+
+    Scale shape per iteration: one broadcast of the centroid table, one
+    map-side-combinable groupBy(cell) with dim integer sums — the corpus
+    is scanned, never shuffled by vector.
+    """
+    spark = emb.sparkSession
+    e = emb.select(
+        F.col(id_col).alias("_id"), F.expr(_fp_expr(vec_col, dim, fp_scale)).alias("efp")
+    ).persist()
+    try:
+        cents: dict[int, list[int]] = {
+            int(r["_id"]): [int(v) for v in r["efp"]]
+            for r in e.filter(F.col("_id") < n_cells).collect()
+        }
+        if len(cents) < n_cells:
+            raise ValueError(
+                f"need ids 0..{n_cells - 1} present to seed {n_cells} cells"
+            )
+        for _ in range(n_iter):
+            cdf = F.broadcast(
+                spark.createDataFrame(
+                    sorted(cents.items()), "cell int, cent array<bigint>"
+                )
+            )
+            assign = (
+                e.crossJoin(cdf)
+                .select("_id", "efp", "cell", _d2_fp(F.col("efp"), F.col("cent")).alias("d2"))
+                .groupBy("_id")
+                .agg(F.min(F.struct("d2", "cell")).alias("m"))
+                .select("_id", F.col("m.cell").alias("cell"))
+            )
+            sums = (
+                assign.join(e, "_id")
+                .groupBy("cell")
+                .agg(
+                    F.count("*").alias("n"),
+                    *[F.sum(F.col("efp")[d]).alias(f"s{d}") for d in range(dim)],
+                )
+                .collect()  # bounded: ≤ n_cells rows of dim+2 ints
+            )
+            for r in sums:
+                cents[int(r["cell"])] = [
+                    _trunc_div(int(r[f"s{d}"]), int(r["n"])) for d in range(dim)
+                ]
+    finally:
+        e.unpersist()
+    return cents
+
+
+def ivf_topk_deterministic(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    fp_scale: int = 1 << 20,
+) -> DataFrame:
+    """IVF ANN top-k with a DETERMINISTIC fixed-point coarse quantizer.
+
+    Same FAISS-style shape as ``ivf_topk`` (train → invert → probe →
+    exact re-rank) but the quantizer is ``ivf_train_fixedpoint``, so the
+    END-TO-END result is engine- and partitioning-exact: assignment and
+    probe order use integer distances with (d2, cell) tie-breaks, and the
+    re-rank uses the same float-multiply/double-accumulate cosine as the
+    brute-force baseline.  This is the variant under the SQL oracle gate
+    (Spark ML k-means in ``ivf_topk`` is seeded but not engine-portable);
+    determinism is also what production wants — a retried or resumed job
+    must not re-bucket the corpus differently.
+    """
+    cents = ivf_train_fixedpoint(
+        emb, n_cells=n_cells, n_iter=n_iter, id_col=id_col,
+        vec_col=vec_col, dim=dim, fp_scale=fp_scale,
+    )
+    spark = emb.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(sorted(cents.items()), "cell int, cent array<bigint>")
+    )
+    fp = F.expr(_fp_expr(vec_col, dim, fp_scale))
+    c = emb.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_emb"), fp.alias("efp")
+    )
+    c_assign = (
+        c.crossJoin(cdf)
+        .select("c_id", "c_emb", "cell", _d2_fp(F.col("efp"), F.col("cent")).alias("d2"))
+        .groupBy("c_id")
+        .agg(F.min(F.struct("d2", "cell", "c_emb")).alias("m"))
+        .select("c_id", F.col("m.cell").alias("cell"), F.col("m.c_emb").alias("c_emb"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"), fp.alias("efp")
+    )
+    wq = W.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probed = (
+        q.crossJoin(cdf)
+        .select("q_id", "q_emb", "cell", _d2_fp(F.col("efp"), F.col("cent")).alias("d2"))
+        .withColumn("cell_rk", F.row_number().over(wq))
+        .filter(F.col("cell_rk") <= n_probe)
+        .select("q_id", "q_emb", "cell")
+    )
+    pairs = (
+        probed.join(c_assign, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", cosine("q_emb", "c_emb", dim).alias("cos_sim"))
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return (

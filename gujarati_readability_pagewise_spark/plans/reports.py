@@ -114,9 +114,15 @@ def roc_points(
     non-readable-positive convention, train_pagewise_xgboost.py:388-405):
     one point per distinct score, prediction positive iff score ≥ threshold.
     Distributed shape: per-score partial aggregation first (the shuffle
-    carries one row per distinct score), then a cumulative window over the
-    sorted scores and a 1-row broadcast of the class totals — the
-    running-rate form of W4."""
+    carries one row per distinct score), then a BUCKETED prefix-sum over
+    the sorted scores (the ``distributed_rank`` pattern from
+    operators/aggregate): an unpartitioned cumulative window would move
+    every distinct score to ONE partition — fine for an RF's ~hundreds of
+    distinct probabilities, a driver-shaped bottleneck for near-unique
+    float scores at 100×.  Here each score-range bucket cumulates in
+    parallel and per-bucket totals (a tiny driver list) provide the
+    offsets; values are exact integer arithmetic either way.  Class totals
+    join as a 1-row broadcast."""
     d = scored.select(
         (F.col(label_col) == pos_label).cast("long").alias("pos"),
         F.col(score_col).cast("double").alias("score"),
@@ -125,11 +131,42 @@ def roc_points(
         F.sum("pos").alias("n_pos"),
         F.sum(1 - F.col("pos")).alias("n_neg"),
     )
-    w = W.orderBy(F.desc("score")).rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = agg.select(
-        F.col("score").alias("threshold"),
-        F.sum("n_pos").over(w).alias("cum_tp"),
-        F.sum("n_neg").over(w).alias("cum_fp"),
+    n_buckets = 64
+    bounds = sorted(
+        set(agg.approxQuantile("score", [i / n_buckets for i in range(1, n_buckets)], 0.001))
+    )
+    bkt = F.lit(0)
+    for bound in bounds:  # monotone in score; ties share a bucket
+        bkt = bkt + F.when(F.col("score") > F.lit(bound), 1).otherwise(0)
+    bucketed = agg.withColumn("_bkt", bkt)
+    # suffix offsets: bucket b's cumsum starts after every HIGHER-score bucket
+    totals_by_bkt = {
+        r["_bkt"]: (r["tp"], r["fp"])
+        for r in bucketed.groupBy("_bkt")
+        .agg(F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("fp"))
+        .collect()  # bounded: ≤ n_buckets rows
+    }
+    off, tp_acc, fp_acc = {}, 0, 0
+    for b in sorted(totals_by_bkt, reverse=True):
+        off[b] = (tp_acc, fp_acc)
+        tp_acc += totals_by_bkt[b][0]
+        fp_acc += totals_by_bkt[b][1]
+    off_df = agg.sparkSession.createDataFrame(
+        [(b, t, f) for b, (t, f) in off.items()],
+        "_bkt int, _tp_off bigint, _fp_off bigint",
+    )
+    w = (
+        W.partitionBy("_bkt")
+        .orderBy(F.desc("score"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = (
+        bucketed.join(F.broadcast(off_df), "_bkt")
+        .select(
+            F.col("score").alias("threshold"),
+            (F.sum("n_pos").over(w) + F.col("_tp_off")).alias("cum_tp"),
+            (F.sum("n_neg").over(w) + F.col("_fp_off")).alias("cum_fp"),
+        )
     )
     totals = F.broadcast(
         d.agg(F.sum("pos").alias("tot_p"), F.sum(1 - F.col("pos")).alias("tot_n"))

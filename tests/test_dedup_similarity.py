@@ -346,3 +346,30 @@ def test_release_persisted_unpersists_intermediates(spark, docs):
     released = D.release_persisted()
     assert released >= 3
     assert not D._PERSISTED
+
+
+def test_ivf_deterministic_full_probe_and_partitioning_invariance(spark):
+    """Deterministic fixed-point IVF: (a) n_probe == n_cells probes every
+    list => the candidate set covers brute-force top-k exactly; (b) the
+    trained quantizer is IDENTICAL under different input partitionings —
+    the property that makes the SQL oracle and checkpoint-resume exact
+    (Spark ML k-means is seeded but not partitioning-portable)."""
+    from gujarati_readability_pagewise_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_deterministic,
+        ivf_train_fixedpoint,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact_set = {(r["q_id"], r["c_id"]) for r in brute_force_topk(emb, q, k=3, dim=64).collect()}
+    full = ivf_topk_deterministic(emb, q, k=3, n_cells=8, n_probe=8, n_iter=2, dim=64).collect()
+    assert {(r["q_id"], r["c_id"]) for r in full} == exact_set
+
+    part = ivf_topk_deterministic(emb, q, k=3, n_cells=8, n_probe=2, n_iter=2, dim=64).collect()
+    recall = len(exact_set & {(r["q_id"], r["c_id"]) for r in part}) / len(exact_set)
+    assert recall >= 0.5, f"deterministic IVF recall too low: {recall}"
+
+    c1 = ivf_train_fixedpoint(emb.repartition(1), n_cells=8, n_iter=3, dim=64)
+    c16 = ivf_train_fixedpoint(emb.repartition(16), n_cells=8, n_iter=3, dim=64)
+    assert c1 == c16

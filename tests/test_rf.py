@@ -63,3 +63,33 @@ def test_feature_importances_normalized():
     imp = m.feature_importances_()
     assert abs(imp.sum() - 1.0) < 1e-9
     assert imp[0] == imp.max()  # X0 is the dominant signal
+
+
+def test_forest_to_sql_bit_identical_to_numpy():
+    """The decision-path SQL export (the pipeline_score_summary oracle's
+    core) must reproduce predict_proba/predict BIT-FOR-BIT on the full
+    training matrix: literals parse as DOUBLE (bare 17-digit literals are
+    DECIMAL in DuckDB — a 1-ulp drift), tree terms sum left-associatively
+    like the numpy ``p0 += tree`` loop."""
+    import duckdb
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.functions.features import FEATURE_NAMES
+    from gujarati_readability_pagewise_spark.ml.rf import forest_to_sql
+    from gujarati_readability_pagewise_spark.ml.train import (
+        _default_training_data,
+        default_model,
+    )
+
+    m = default_model()
+    X, _ = _default_training_data()
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(X, columns=FEATURE_NAMES))
+    p_sql = forest_to_sql(m, FEATURE_NAMES)
+    got = con.execute(f"SELECT {p_sql} AS p FROM t").fetchdf().p.values
+    assert (got == m.predict_proba(X)[:, 0]).all()
+    lbl = con.execute(
+        f"SELECT CASE WHEN (1.0e0 - ({p_sql})) >= ({p_sql}) THEN 1 ELSE 0 END"
+        " AS l FROM t"
+    ).fetchdf().l.values
+    assert (lbl == m.predict(X)).all()
