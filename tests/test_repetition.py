@@ -1,0 +1,64 @@
+"""Gopher repetition signals, C4 global sentence dedup, bigram fluency."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gujarati_readability_pagewise_spark.functions.repetition import (
+    bigram_fluency,
+    dedup_sentences_global,
+    repetition_signals,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        # 0: clean doc, all-distinct sentences
+        (0, "alpha beta gamma. delta epsilon zeta. eta theta iota."),
+        # 1: spammy — one sentence repeated 3 of 4 times
+        (1, "buy cheap now. buy cheap now. buy cheap now. other text here."),
+        # 2: keyword stuffing — one 2-gram dominates
+        (2, "best price best price best price best price best price"),
+        # 3: shares a sentence with doc 0 (doc 0 wins: lower id); long
+        # enough that no single unique 2-gram covers 20% of the chars
+        (3, "delta epsilon zeta. completely new material appears in this "
+            "sentence with many further distinct words beyond the shared part."),
+        # 4: single word (no bigrams, one sentence)
+        (4, "word"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_repetition_signals_flag_planted_spam(docs):
+    sig = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert sig[0]["keep"] and sig[0]["dup_sent_fraction"] == 0.0
+    # doc 1: 4 sentences, 2 distinct -> dup fraction 0.5 > 0.30 -> rejected
+    assert sig[1]["dup_sent_fraction"] == 0.5 and not sig[1]["keep"]
+    # doc 2: 'best price' (or overlap twin) covers >20% of chars -> rejected
+    assert sig[2]["top_2gram_char_fraction"] > 0.20 and not sig[2]["keep"]
+    assert sig[3]["keep"]
+    assert sig[4]["keep"] and sig[4]["top_2gram"] == ""
+
+
+def test_dedup_sentences_first_global_occurrence_wins(docs):
+    out = {r["doc_id"]: r for r in dedup_sentences_global(docs).collect()}
+    # doc 3 loses its duplicated first sentence to doc 0 (lower doc_id)
+    assert out[3]["n_sents"] == 2 and out[3]["n_kept"] == 1
+    assert out[0]["n_kept"] == 3  # winner keeps all
+    # doc 1 keeps first occurrence of the repeated sentence + the other
+    assert out[1]["n_sents"] == 4 and out[1]["n_kept"] == 2
+    # determinism: md5 matches a hand-rebuilt doc 3
+    import hashlib
+
+    assert out[3]["text_md5"] == hashlib.md5(
+        b"completely new material appears in this sentence with many "
+        b"further distinct words beyond the shared part."
+    ).hexdigest()
+
+
+def test_bigram_fluency_scores_common_bigrams_higher(docs):
+    out = {r["doc_id"]: r for r in bigram_fluency(docs).collect()}
+    # doc 2's 'best price'/'price best' bigrams are corpus-frequent
+    assert out[2]["mean_bigram_count"] > out[0]["mean_bigram_count"]
+    assert 4 not in out  # no bigrams in a 1-token doc
+    assert out[1]["n_bigrams"] == 11
