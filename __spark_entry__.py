@@ -2247,6 +2247,50 @@ def q_bigram_fluency(spark, sf):
     return bigram_fluency(docs)
 
 
+def q_histogram_quantiles(spark, sf):
+    """Scalable percentiles: the fixed-bucket histogram sketch (operators/
+    aggregate.histogram_quantiles) — exact percentile() collects every
+    value (impossible globally at 10^12 rows) and approx_percentile's
+    sketch is engine-private; integer bucket counts are mergeable and
+    oracle-exact, with error bounded by one bucket width."""
+    from gujarati_readability_pagewise_spark.operators.aggregate import (
+        histogram_quantiles,
+    )
+
+    li = load_table(spark, sf, "lineitem")
+    return histogram_quantiles(li, "l_extendedprice", (500, 900, 990), 256)
+
+
+def q_scd2_url_history(spark, sf):
+    """SCD2 content-version history over a synthetic re-crawl log (3
+    deterministic fetches per url, planted drift): consecutive unchanged
+    fingerprints collapse into one validity period, valid_to = next
+    version's valid_from, NULL marks the current version — the warehouse
+    shape for 'what did this url say at time T' over an incremental
+    crawl."""
+    from gujarati_readability_pagewise_spark.plans.snapshots import scd2_history
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    fetches = docs.withColumn(
+        "fetch", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
+    )
+    content = F.when(
+        (F.col("fetch") >= 1) & (F.col("doc_id") % 3 == 0),
+        F.when(
+            (F.col("fetch") == 2) & (F.col("doc_id") % 5 == 0),
+            F.concat(F.col("text"), F.lit(" [u2]")),
+        ).otherwise(F.concat(F.col("text"), F.lit(" [u1]"))),
+    ).otherwise(F.col("text"))
+    log = fetches.select(
+        F.col("doc_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id") * 100 + F.col("fetch")
+        ).alias("fetch_ts"),
+        F.md5(content).alias("fp"),
+    )
+    return scd2_history(log, key_col="doc_id", ts_col="fetch_ts", fp_col="fp")
+
+
 def q_tpch_q13(spark, sf):
     """Q13 shape — the one classic outer-join form the suite lacked: LEFT
     join customer→orders with the predicate in the join (zero-order
@@ -2373,6 +2417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "dedup_sentences": q_dedup_sentences,
         "bigram_fluency": q_bigram_fluency,
+        "histogram_quantiles": q_histogram_quantiles,
+        "scd2_url_history": q_scd2_url_history,
         # -- rotate a few legacy queries through the remaining window slots --
         "a6_group_stats": q_a6_group_stats,
         "tpch_q1": q_tpch_q1,
@@ -2516,6 +2562,64 @@ def oracle_sql() -> dict[str, str]:
                      AS mean_bigram_count
             FROM gr JOIN c ON c.gram = gr.gram
             GROUP BY gr.doc_id
+        """,
+        "histogram_quantiles": """
+            WITH mm AS (
+              SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+                     count(l_extendedprice) AS n
+              FROM lineitem),
+                 b AS (
+              SELECT CASE WHEN mm.hi = mm.lo THEN 0
+                          ELSE least(CAST(floor((l_extendedprice - mm.lo)
+                                     / ((mm.hi - mm.lo) / 256.0)) AS INT), 255)
+                     END AS bucket
+              FROM lineitem, mm),
+                 counts AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+                 cum AS (
+              SELECT bucket,
+                     CAST(sum(cnt) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_count
+              FROM counts),
+                 hit AS (
+              SELECT p_permille, bucket, cum_count,
+                     row_number() OVER (PARTITION BY p_permille
+                                        ORDER BY bucket) AS rn
+              FROM cum, unnest([500, 900, 990]) t(p_permille), mm
+              WHERE cum_count >= (mm.n * p_permille + 999) // 1000)
+            SELECT CAST(p_permille AS INT) AS p_permille,
+                   bucket, cum_count,
+                   mm.lo + bucket * ((mm.hi - mm.lo) / 256.0) AS est_value
+            FROM hit, mm WHERE rn = 1
+        """,
+        "scd2_url_history": """
+            WITH log AS (
+              SELECT doc_id,
+                     epoch_ms((1704067200 + doc_id * 100 + fetch_i) * 1000)
+                       AS fetch_ts,
+                     md5(CASE WHEN fetch_i >= 1 AND doc_id % 3 = 0
+                              THEN CASE WHEN fetch_i = 2 AND doc_id % 5 = 0
+                                        THEN text || ' [u2]'
+                                        ELSE text || ' [u1]' END
+                              ELSE text END) AS fp
+              FROM documents, unnest([0, 1, 2]) t(fetch_i)
+              WHERE doc_id < 300),
+                 ch AS (
+              SELECT doc_id, fetch_ts, fp,
+                     lag(fp) OVER (PARTITION BY doc_id ORDER BY fetch_ts)
+                       AS prev
+              FROM log),
+                 vers AS (
+              SELECT doc_id, fetch_ts, fp,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY fetch_ts) AS INT)
+                       AS version,
+                     lead(fetch_ts) OVER (PARTITION BY doc_id
+                                          ORDER BY fetch_ts) AS valid_to
+              FROM ch WHERE prev IS NULL OR fp <> prev)
+            SELECT doc_id, version, fetch_ts AS valid_from, valid_to, fp,
+                   CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+            FROM vers
         """,
         "tpch_q13": """
             SELECT c_count, count(*) AS custdist FROM (

@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 
 from .split import host_of
 
-__all__ = ["class_distribution", "host_summary", "confusion_matrix", "binary_metrics"]
+__all__ = [
+    "class_distribution",
+    "host_summary",
+    "confusion_matrix",
+    "binary_metrics",
+    "histogram_quantiles",
+]
 
 
 def class_distribution(scored: DataFrame, col: str = "pred_label") -> DataFrame:
@@ -151,4 +157,82 @@ def verify_metrics(scored: DataFrame, reported: dict[str, float], tol: float = 1
     fresh = binary_metrics(scored)
     return all(
         abs(fresh[k] - reported[k]) <= tol for k in reported if k in fresh
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    probs_permille: tuple[int, ...] = (500, 900, 990),
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Fixed-bucket histogram quantiles — the percentile you can AFFORD at
+    10^12 rows.
+
+    Exact ``percentile()`` collects every value into the aggregation
+    buffer (fine per-order in a6, impossible for a global percentile over
+    a crawl).  ``approx_percentile`` is cheap but its sketch is
+    engine-private (never oracle-checkable) and merge-order dependent.
+    This is the classic fixed-histogram sketch: one min/max pass, one
+    integer bucket-count pass (map-side combinable, mergeable across
+    partitions/days/runs), quantile = lower edge of the first bucket whose
+    cumulative count reaches ceil(p·n).  Deterministic, partitioning-
+    independent, and exact integer arithmetic until the final edge
+    interpolation — so a SQL oracle matches bit-for-bit.  Max error is one
+    bucket width (range/n_buckets).
+
+    Probabilities are integer per-mille so the rank threshold
+    ``(n·p + 999) div 1000`` stays in exact integer arithmetic.
+    Output: (p_permille, bucket, cum_count, est_value).
+    """
+    spark = df.sparkSession
+    mm = df.agg(
+        F.min(col).alias("lo"), F.max(col).alias("hi"), F.count(col).alias("n")
+    )
+    bounded = df.select(col).crossJoin(F.broadcast(mm))  # 1-row scalar join
+    bkt = F.least(
+        F.floor(
+            (F.col(col) - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / F.lit(float(n_buckets)))
+        ).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+    counts = (
+        bounded.withColumn(
+            "bucket", F.when(F.col("hi") == F.col("lo"), 0).otherwise(bkt)
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = counts.withColumn(
+        "cum_count",
+        F.sum("cnt").over(
+            W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),  # ≤ n_buckets rows total: the tiny-window exception is by design
+    )
+    probs = spark.createDataFrame(
+        [(p,) for p in probs_permille], "p_permille int"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(probs))
+        .crossJoin(F.broadcast(mm))
+        .filter(
+            F.col("cum_count")
+            >= F.expr("(n * p_permille + 999) div 1000")
+        )
+        .groupBy("p_permille")
+        .agg(F.min(F.struct("bucket", "cum_count")).alias("m"))
+        .select("p_permille", F.col("m.bucket").alias("bucket"), F.col("m.cum_count").alias("cum_count"))
+    )
+    return (
+        hit.crossJoin(F.broadcast(mm))
+        .select(
+            "p_permille",
+            "bucket",
+            "cum_count",
+            (
+                F.col("lo")
+                + F.col("bucket") * ((F.col("hi") - F.col("lo")) / F.lit(float(n_buckets)))
+            ).alias("est_value"),
+        )
     )

@@ -254,3 +254,39 @@ def test_host_quota_sample_deterministic_and_capped(spark, pages_df):
     a = s1.sort_values(["host", "url"]).reset_index(drop=True)
     b = s2.sort_values(["host", "url"]).reset_index(drop=True)
     assert a.equals(b)  # hash order, not rand(): partitioning-independent
+
+
+def test_histogram_quantiles_within_one_bucket_of_exact(spark):
+    """The fixed-bucket sketch quantile must land within one bucket width
+    of the exact percentile, and be partitioning-independent."""
+    from pyspark.sql import functions as F
+
+    from gujarati_readability_pagewise_spark.operators.aggregate import (
+        histogram_quantiles,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    n_buckets = 256
+    lo, hi = li.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice")
+    ).first()
+    width = (hi - lo) / n_buckets
+    est = {
+        r["p_permille"]: r["est_value"]
+        for r in histogram_quantiles(li, "l_extendedprice", (500, 900, 990), n_buckets).collect()
+    }
+    exact = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)"),
+        F.expr("percentile(l_extendedprice, 0.9)"),
+        F.expr("percentile(l_extendedprice, 0.99)"),
+    ).first()
+    for p, ex in zip((500, 900, 990), exact):
+        assert abs(est[p] - ex) <= width + 1e-9, (p, est[p], ex, width)
+    # partitioning-independent: integer bucket counts merge exactly
+    est_rep = {
+        r["p_permille"]: r["est_value"]
+        for r in histogram_quantiles(
+            li.repartition(16), "l_extendedprice", (500, 900, 990), n_buckets
+        ).collect()
+    }
+    assert est == est_rep
