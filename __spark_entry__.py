@@ -2291,6 +2291,23 @@ def q_scd2_url_history(spark, sf):
     return scd2_history(log, key_col="doc_id", ts_col="fetch_ts", fp_col="fp")
 
 
+def q_mixture_sample(spark, sf):
+    """Deterministic domain-mixture resampling (DoReMi/Pile-style target
+    mixture): keep the largest sample whose source shares equal the target
+    weights (0.5/0.25/0.25 over three sources), rows chosen by stable hash
+    order — retry-safe and fully re-derivable in SQL (quota arithmetic
+    mirrored op-for-op; weights sum to an exact float 1.0)."""
+    from gujarati_readability_pagewise_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    out = mixture_sample(
+        docs, "source", "doc_id", {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    )
+    return out.select("doc_id", "source", "mix_rank")
+
+
 def q_tpch_q13(spark, sf):
     """Q13 shape — the one classic outer-join form the suite lacked: LEFT
     join customer→orders with the predicate in the join (zero-order
@@ -2419,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_fluency": q_bigram_fluency,
         "histogram_quantiles": q_histogram_quantiles,
         "scd2_url_history": q_scd2_url_history,
+        "mixture_sample": q_mixture_sample,
         # -- rotate a few legacy queries through the remaining window slots --
         "a6_group_stats": q_a6_group_stats,
         "tpch_q1": q_tpch_q1,
@@ -2620,6 +2638,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, version, fetch_ts AS valid_from, valid_to, fp,
                    CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
             FROM vers
+        """,
+        "mixture_sample": """
+            WITH c AS (
+              SELECT source, count(*) AS n FROM documents
+              WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
+                 wts AS (
+              SELECT * FROM (VALUES ('src0', 0.5e0), ('src1', 0.25e0),
+                                    ('src2', 0.25e0)) w(source, wt)),
+                 t AS (
+              SELECT min(c.n / w.wt) AS t_max FROM c JOIN wts w USING (source)),
+                 q AS (
+              SELECT w.source, CAST(t.t_max * w.wt AS INT) AS quota
+              FROM wts w, t),
+                 ranked AS (
+              SELECT d.doc_id, d.source,
+                     CAST(row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY ('0x' || substr(md5(d.doc_id::VARCHAR || '#q0'),
+                                 1, 15))::BIGINT, d.doc_id) AS INT) AS mix_rank
+              FROM documents d WHERE d.source IN ('src0', 'src1', 'src2'))
+            SELECT r.doc_id, r.source, r.mix_rank
+            FROM ranked r JOIN q ON q.source = r.source AND r.mix_rank <= q.quota
         """,
         "tpch_q13": """
             SELECT c_count, count(*) AS custdist FROM (

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["stable_order", "host_quota_sample", "stratified_fixed_n"]
+__all__ = ["stable_order", "host_quota_sample", "stratified_fixed_n", "mixture_sample"]
 
 
 def stable_order(col: Column, seed: int = 0) -> Column:
@@ -60,4 +60,59 @@ def stratified_fixed_n(
     hash-order construction; strata smaller than n keep all rows."""
     return host_quota_sample(
         df, host_col=stratum_col, key_col=key_col, k=n_per_stratum, seed=seed
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic domain-mixture resampling (the DoReMi/Pile idea of
+    training on a TARGET source mixture rather than the crawl's natural
+    one): keep the LARGEST total sample whose stratum shares equal
+    ``weights``.
+
+    With n_s rows available in stratum s and target share w_s, the binding
+    stratum caps the total at T = min_s(n_s / w_s); each stratum keeps
+    exactly floor(T·w_s) rows (so no stratum is oversampled — this is
+    subsampling, not replication), chosen by the stable hash order —
+    deterministic under retries and oracle-expressible.  Strata not in
+    ``weights`` are dropped (weight 0).
+
+    Driver-side work is one groupBy(stratum).count() collect — bounded by
+    the number of sources, which is small by construction at any scale.
+    Adds ``mix_rank`` (1-based within stratum).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total_w = sum(weights.values())
+    shares = {s: w / total_w for s, w in weights.items()}
+    counts = {
+        r[stratum_col]: r["n"]
+        for r in df.filter(F.col(stratum_col).isin(list(weights)))
+        .groupBy(stratum_col)
+        .agg(F.count("*").alias("n"))
+        .collect()  # bounded: one row per source
+    }
+    if not counts:
+        return df.filter(F.lit(False)).withColumn("mix_rank", F.lit(0))
+    t_max = min(counts[s] / shares[s] for s in counts if shares[s] > 0)
+    quotas = {s: int(t_max * shares[s]) for s in counts}
+    quota_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(s, q) for s, q in sorted(quotas.items())],
+            f"{stratum_col} string, _quota int",
+        )
+    )
+    w = W.partitionBy(stratum_col).orderBy(
+        stable_order(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.join(quota_df, stratum_col)
+        .withColumn("mix_rank", F.row_number().over(w))
+        .filter(F.col("mix_rank") <= F.col("_quota"))
+        .drop("_quota")
     )

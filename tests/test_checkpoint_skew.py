@@ -290,3 +290,29 @@ def test_histogram_quantiles_within_one_bucket_of_exact(spark):
         ).collect()
     }
     assert est == est_rep
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    """Mixture resampling: the kept sample's stratum shares equal the
+    target weights (largest feasible total, binding stratum kept whole),
+    selection is deterministic under repartitioning."""
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    rows = [(i, "a" if i < 100 else ("b" if i < 140 else "c")) for i in range(200)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
+    # natural mix 100/40/60; target 50/25/25 -> b binds: T=160 -> 80/40/40
+    out = mixture_sample(df, "source", "doc_id", {"a": 0.5, "b": 0.25, "c": 0.25})
+    got = {r["source"]: r["n"] for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert got == {"a": 80, "b": 40, "c": 40}
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df.repartition(16), "source", "doc_id", {"a": 0.5, "b": 0.25, "c": 0.25}
+        ).collect()
+    )
+    assert a == b
