@@ -2209,7 +2209,9 @@ def q_gopher_repetition(spark, sf):
     )
 
     docs = load_table(spark, sf, "documents")
-    sig = repetition_signals(docs)
+    sig = repetition_signals(
+        docs, n_partitions=spark.sparkContext.defaultParallelism
+    )
     return sig.select(
         "doc_id",
         "n_sents",
@@ -2231,7 +2233,9 @@ def q_dedup_sentences(spark, sf):
     )
 
     docs = load_table(spark, sf, "documents")
-    return dedup_sentences_global(docs)
+    return dedup_sentences_global(
+        docs, n_partitions=spark.sparkContext.defaultParallelism
+    )
 
 
 def q_bigram_fluency(spark, sf):
@@ -2244,7 +2248,9 @@ def q_bigram_fluency(spark, sf):
     )
 
     docs = load_table(spark, sf, "documents")
-    return bigram_fluency(docs)
+    return bigram_fluency(
+        docs, n_partitions=spark.sparkContext.defaultParallelism
+    )
 
 
 def q_histogram_quantiles(spark, sf):

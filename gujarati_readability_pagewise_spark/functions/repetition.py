@@ -61,7 +61,10 @@ def sentences_exploded(
 
 
 def repetition_signals(
-    docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Per-doc Gopher repetition signals, all integer-count ratios:
 
@@ -73,7 +76,14 @@ def repetition_signals(
       frequent word 2-gram (count × gram length / doc length), ties
       broken lexicographically;
     * ``keep`` — Gopher rule: reject docs over either threshold.
+
+    ``n_partitions`` repartitions the doc table by key BEFORE the explodes
+    (same hazard as dedup.char_shingles: a single-file scan leaves the
+    whole token/2-gram fan-out in ONE task — shuffle the tiny doc rows
+    first, materialize the expansion after, spread over every core).
     """
+    if n_partitions:
+        docs = docs.repartition(n_partitions, key_col)
     sents = sentences_exploded(docs, text_col, key_col)
     per_sent = sents.groupBy(key_col, "sent").agg(F.count("*").alias("cnt"))
     sent_sig = per_sent.groupBy(key_col).agg(
@@ -96,16 +106,23 @@ def repetition_signals(
         .groupBy(key_col, "n_chars", "gram")
         .agg(F.count("*").alias("cnt"))
     )
-    wtop = W.partitionBy(key_col).orderBy(F.desc("cnt"), F.asc("gram"))
+    # top-1 per doc as a hash aggregation (min over (−cnt, gram) structs ≡
+    # ORDER BY cnt DESC, gram ASC) — partial-aggregable map-side, no
+    # per-doc window sort over the full (doc, gram) pair stream
     top = (
-        g.withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") == 1)
+        g.groupBy(key_col, "n_chars")
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("gram"))
+            ).alias("m")
+        )
         .select(
             key_col,
-            F.col("gram").alias("top_2gram"),
-            (F.col("cnt") * F.length("gram") / F.col("n_chars").cast("double")).alias(
-                "top_2gram_char_fraction"
-            ),
+            F.col("m.gram").alias("top_2gram"),
+            (
+                (-F.col("m.neg_cnt")) * F.length("m.gram")
+                / F.col("n_chars").cast("double")
+            ).alias("top_2gram_char_fraction"),
         )
     )
     out = (
@@ -133,7 +150,10 @@ def repetition_signals(
 
 
 def dedup_sentences_global(
-    docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """C4-style corpus-wide sentence dedup: each distinct sentence survives
     only at its FIRST global occurrence (lowest (doc, idx)); docs are
@@ -144,7 +164,11 @@ def dedup_sentences_global(
     is the sentence, so a hot document cannot skew a reducer, and the
     reassembly groups by doc with an order-pinned array_sort (exactly
     reproducible; the SQL oracle uses string_agg ORDER BY idx).
+    ``n_partitions`` repartitions by key before the explode (see
+    repetition_signals).
     """
+    if n_partitions:
+        docs = docs.repartition(n_partitions, key_col)
     sents = sentences_exploded(docs, text_col, key_col)
     wfirst = W.partitionBy(F.md5("sent")).orderBy(F.asc(key_col), F.asc("idx"))
     kept = sents.withColumn("rn", F.row_number().over(wfirst)).filter(F.col("rn") == 1)
@@ -171,7 +195,10 @@ def dedup_sentences_global(
 
 
 def bigram_fluency(
-    docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """LM-proxy fluency score (the CCNet idea with an oracle-exact stand-in
     for perplexity): score = mean corpus frequency of the doc's word
@@ -180,8 +207,11 @@ def bigram_fluency(
     counts + one float division keep it engine-exact (a log-prob LM would
     differ by libm ulps across engines).
 
-    Output: (key, n_bigrams, mean_bigram_count).
+    Output: (key, n_bigrams, mean_bigram_count).  ``n_partitions``
+    repartitions by key before the explode (see repetition_signals).
     """
+    if n_partitions:
+        docs = docs.repartition(n_partitions, key_col)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = F.when(
         F.size(toks) >= 2,
