@@ -231,6 +231,11 @@ def main() -> None:
         "dedup_verified_pairs",
         "graph_pagerank",
         "corpus_curation",
+        # round-3 flagships: Gopher repetition filters, corpus-wide
+        # sentence dedup, histogram-sketch quantiles
+        "gopher_repetition",
+        "dedup_sentences",
+        "histogram_quantiles",
     ):
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
