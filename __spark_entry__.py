@@ -2297,6 +2297,57 @@ def q_scd2_url_history(spark, sf):
     return scd2_history(log, key_col="doc_id", ts_col="fetch_ts", fp_col="fp")
 
 
+def q_similarity_quantized_topk(spark, sf):
+    """Int8-quantized ANN scoring (operators/similarity.quantized_topk):
+    symmetric per-dim quantization (scale = 127/max|x_d|, one corpus max
+    pass) then INTEGER dot-product top-k — the 4× memory/bandwidth
+    saving a 10^12-vector store needs, engine-exact end to end (the
+    oracle re-derives scales, quantization, and integer ranking)."""
+    from gujarati_readability_pagewise_spark.operators.similarity import (
+        quantized_topk,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return quantized_topk(emb, q, k=3, dim=64)
+
+
+def _quantized_oracle(dim: int = 64, k: int = 3, n_queries: int = 5) -> str:
+    """DuckDB oracle for similarity_quantized_topk: re-derive the per-dim
+    scales (127/max|x_d| — identical doubles: exact float→double widening
+    then one IEEE division), the clamp(floor(x·s + 0.5)) quantization, and
+    the integer dot-product ranking.  Mirrors int8_quantize/quantized_topk
+    parameter-for-parameter; all literals carry e0 so both parsers type
+    them DOUBLE."""
+    maxes = ", ".join(
+        f"max(abs(embedding[{d + 1}])) AS m{d}" for d in range(dim)
+    )
+    qv = ", ".join(
+        f"CAST(greatest(least(floor(embedding[{d + 1}]"
+        f" * (CASE WHEN mx.m{d} > 0 THEN 127.0e0 / mx.m{d} ELSE 0.0e0 END)"
+        " + 0.5e0), 127.0e0), -127.0e0) AS INT)"
+        for d in range(dim)
+    )
+    dot = " + ".join(
+        f"CAST(a.qv[{d + 1}] * b.qv[{d + 1}] AS BIGINT)" for d in range(dim)
+    )
+    return f"""
+        WITH mx AS (SELECT {maxes} FROM embeddings),
+             q AS (SELECT vec_id, [{qv}] AS qv FROM embeddings, mx),
+             pairs AS (
+          SELECT a.vec_id AS q_id, b.vec_id AS c_id, {dot} AS dot_q
+          FROM q a JOIN q b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < {n_queries}),
+             r AS (
+          SELECT q_id, c_id, dot_q,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY dot_q DESC, c_id ASC) AS rk
+          FROM pairs)
+        SELECT q_id, c_id, dot_q, CAST(rk AS INT) AS rk
+        FROM r WHERE rk <= {k}
+    """
+
+
 def q_mixture_sample(spark, sf):
     """Deterministic domain-mixture resampling (DoReMi/Pile-style target
     mixture): keep the largest sample whose source shares equal the target
@@ -2443,6 +2494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantiles": q_histogram_quantiles,
         "scd2_url_history": q_scd2_url_history,
         "mixture_sample": q_mixture_sample,
+        "similarity_quantized_topk": q_similarity_quantized_topk,
         # -- rotate a few legacy queries through the remaining window slots --
         "a6_group_stats": q_a6_group_stats,
         "tpch_q1": q_tpch_q1,
@@ -2645,6 +2697,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
             FROM vers
         """,
+        "similarity_quantized_topk": _quantized_oracle(),
         "mixture_sample": """
             WITH c AS (
               SELECT source, count(*) AS n FROM documents

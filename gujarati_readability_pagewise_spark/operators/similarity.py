@@ -35,6 +35,8 @@ __all__ = [
     "ivf_topk",
     "ivf_train_fixedpoint",
     "ivf_topk_deterministic",
+    "int8_quantize",
+    "quantized_topk",
 ]
 
 
@@ -409,6 +411,83 @@ def ivf_topk_deterministic(
         pairs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("q_id", "c_id", "cos_sim", "rk")
+    )
+
+
+def int8_quantize(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+):
+    """Symmetric per-dimension int8 quantization of an embedding column.
+
+    The standard 4× memory/bandwidth saving for ANN at 10^12 vectors:
+    scale_d = 127 / max|x_d| over the corpus (one max-aggregation pass —
+    both the max and the division are exact, identical doubles in any
+    engine), q_d = clamp(floor(x_d·scale_d + 0.5), −127, 127) —
+    floor(x+0.5) is round-half-toward-+inf, deterministic everywhere,
+    unlike banker's/HALF_UP library rounding.  All-zero dimensions get
+    scale 0 (quantize to 0) instead of a division by zero.
+
+    Returns (quantized DataFrame with ``q`` array<int>, scales list) — the
+    scales are driver-side (dim floats) so queries can reuse them.
+    """
+    mx = emb.agg(
+        *[F.max(F.abs(F.col(vec_col)[d])).alias(f"m{d}") for d in range(dim)]
+    ).collect()[0]
+    scales = [
+        (127.0 / float(mx[f"m{d}"])) if mx[f"m{d}"] else 0.0 for d in range(dim)
+    ]
+    def _lit(x: float) -> str:
+        r = repr(float(x))
+        return r if "e" in r else r + "e0"  # force DOUBLE parse (bare
+        # decimal literals are DECIMAL in Spark SQL and DuckDB alike)
+
+    q_terms = ", ".join(
+        f"CAST(greatest(least(floor({vec_col}[{d}] * {_lit(scales[d])} + 0.5e0),"
+        " 127.0e0), -127.0e0) AS INT)"
+        for d in range(dim)
+    )
+    out = emb.select(
+        F.col(id_col), F.col(vec_col), F.expr(f"array({q_terms})").alias("q")
+    )
+    return out, scales
+
+
+def quantized_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k neighbours by INTEGER dot product over int8-quantized vectors.
+
+    The candidate-scoring half of a quantized ANN stack: exact integer
+    arithmetic (engine- and partitioning-independent, SQL-oracle-checkable
+    end-to-end including the quantization itself), ~4× less data moved
+    than float vectors, and whole-stage-codegen friendly (the unrolled
+    integer chain never leaves the JVM).  Ties break on candidate id.
+    Output: (q_id, c_id, dot_q, rk).
+    """
+    qemb, _scales = int8_quantize(emb, id_col, vec_col, dim)
+    c = qemb.select(F.col(id_col).alias("c_id"), F.col("q").alias("cq"))
+    qs = queries.select(F.col(id_col).alias("q_id")).join(
+        qemb.select(F.col(id_col).alias("q_id"), F.col("q").alias("qq")), "q_id"
+    )
+    dot = " + ".join(f"CAST(qq[{d}] * cq[{d}] AS BIGINT)" for d in range(dim))
+    pairs = (
+        qs.crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.expr(f"({dot})").alias("dot_q"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("dot_q"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "dot_q", "rk")
     )
 
 

@@ -373,3 +373,32 @@ def test_ivf_deterministic_full_probe_and_partitioning_invariance(spark):
     c1 = ivf_train_fixedpoint(emb.repartition(1), n_cells=8, n_iter=3, dim=64)
     c16 = ivf_train_fixedpoint(emb.repartition(16), n_cells=8, n_iter=3, dim=64)
     assert c1 == c16
+
+
+def test_quantized_topk_tracks_exact_ranking(spark):
+    """Int8 quantization: values clamp to [-127, 127], quantized top-3
+    overlaps exact cosine top-3 (same-norm synthetic data makes dot rank
+    ~= cosine rank), and the result is partitioning-independent."""
+    from gujarati_readability_pagewise_spark.operators.similarity import (
+        brute_force_topk,
+        int8_quantize,
+        quantized_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qdf, scales = int8_quantize(emb, dim=64)
+    rng = qdf.select(
+        F.min(F.array_min("q")).alias("lo"), F.max(F.array_max("q")).alias("hi")
+    ).first()
+    assert -127 <= rng["lo"] and rng["hi"] <= 127
+    assert any(s > 0 for s in scales)
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["q_id"], r["c_id"]) for r in brute_force_topk(emb, q, k=3, dim=64).collect()}
+    quant = {(r["q_id"], r["c_id"]) for r in quantized_topk(emb, q, k=3, dim=64).collect()}
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.5, f"quantized recall too low: {recall}"
+
+    a = sorted(map(tuple, quantized_topk(emb.repartition(1), q, k=3, dim=64).collect()))
+    b = sorted(map(tuple, quantized_topk(emb.repartition(16), q, k=3, dim=64).collect()))
+    assert a == b
