@@ -2348,6 +2348,63 @@ def _quantized_oracle(dim: int = 64, k: int = 3, n_queries: int = 5) -> str:
     """
 
 
+def q_tpch_q15(spark, sf):
+    """Q15 shape (top supplier): windowed revenue per supplier, then a
+    max-scalar join-back selecting the best supplier(s) — the
+    view+max(total_revenue) decorrelation.  Revenue uses cent fixed-point
+    (floor(price·(1−disc)·100) per row, BIGINT sum) so the aggregate is
+    order-insensitive exact integer arithmetic — float revenue sums differ
+    by accumulation order across engines."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev_fp = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = li.groupBy("l_suppkey").agg(F.sum(rev_fp).alias("total_rev_fp"))
+    mx = rev.agg(F.max("total_rev_fp").alias("mx"))
+    sup = load_table(spark, sf, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev["total_rev_fp"] == mx["mx"])
+        .join(sup, rev["l_suppkey"] == sup["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev_fp")
+    )
+
+
+def q_tpch_q19(spark, sf):
+    """Q19 shape (discounted revenue, disjunctive predicate): an
+    OR-of-ANDs over brand/size/quantity bands — the classic test that a
+    disjunction still prunes at the scan and the join stays broadcast.
+    Cent fixed-point revenue as in q15."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#17")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    rev_fp = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return j.filter(cond).agg(
+        F.sum(rev_fp).alias("revenue_fp"), F.count("*").alias("n_lines")
+    )
+
+
 def q_mixture_sample(spark, sf):
     """Deterministic domain-mixture resampling (DoReMi/Pile-style target
     mixture): keep the largest sample whose source shares equal the target
@@ -2495,6 +2552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_url_history": q_scd2_url_history,
         "mixture_sample": q_mixture_sample,
         "similarity_quantized_topk": q_similarity_quantized_topk,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q19": q_tpch_q19,
         # -- rotate a few legacy queries through the remaining window slots --
         "a6_group_stats": q_a6_group_stats,
         "tpch_q1": q_tpch_q1,
@@ -2698,6 +2757,31 @@ def oracle_sql() -> dict[str, str]:
             FROM vers
         """,
         "similarity_quantized_topk": _quantized_oracle(),
+        "tpch_q15": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                              * 100) AS BIGINT)) AS BIGINT) AS total_rev_fp
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name, r.total_rev_fp
+            FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_rev_fp = (SELECT max(total_rev_fp) FROM rev)
+        """,
+        "tpch_q19": """
+            SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                     * 100) AS BIGINT)) AS BIGINT) AS revenue_fp,
+                   count(*) AS n_lines
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 1 AND 20)
+               OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 20
+                   AND l.l_quantity BETWEEN 10 AND 30)
+               OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 1 AND 30
+                   AND l.l_quantity BETWEEN 20 AND 40)
+        """,
         "mixture_sample": """
             WITH c AS (
               SELECT source, count(*) AS n FROM documents
