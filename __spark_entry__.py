@@ -1086,7 +1086,14 @@ def q_dedup_verified_components(spark, sf):
     one LSH false positive would otherwise glue two unrelated clusters
     together forever.  The full production dedup shape: LSH prune →
     pair-driven exact verify → min-label clustering, every stage below the
-    quadratic cliff."""
+    quadratic cliff.
+
+    Oracle-size note: the SPARK plan scales (pair-driven verify +
+    iterative min-label, verified at sf0.1 by dedup_verified_pairs /
+    dedup_components passing there); the DUCKDB re-derivation is
+    deliberately naive (co-shingle self-join + recursive-CTE closure) and
+    is gate-sized — at sf0.1 its own spill exceeds sandbox disk.  The
+    driver gate runs at sf0.01, where this row is green."""
     from gujarati_readability_pagewise_spark.operators.components import (
         connected_components,
     )
@@ -2405,6 +2412,38 @@ def q_tpch_q19(spark, sf):
     )
 
 
+def q_dedup_incremental(spark, sf):
+    """Incremental crawl dedup: NEW snapshot (doc_id ≥ 400) deduped against
+    the EXISTING corpus (doc_id < 400) — band only the new docs, equi-join
+    against the (persisted, in production) band index of the old corpus
+    (operators/dedup.lsh_cross_candidates: cost ∝ new snapshot, never
+    new×new or old×old), then exact-Jaccard verify on the cross candidates
+    only.  The daily-ingest shape at 10^12 accumulated docs."""
+    from gujarati_readability_pagewise_spark.operators.dedup import (
+        char_shingles,
+        jaccard_on_candidates,
+        lsh_cross_candidates,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    par = spark.sparkContext.defaultParallelism
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    sh_old = char_shingles(old, "text", "doc_id", k=5, n_partitions=par)
+    sh_new = char_shingles(new, "text", "doc_id", k=5, n_partitions=par)
+    cands = lsh_cross_candidates(
+        minhash_signatures(sh_new, "doc_id", n_hashes=16),
+        minhash_signatures(sh_old, "doc_id", n_hashes=16),
+        "doc_id",
+        bands=4,
+    ).select(F.col("new_id").alias("a"), F.col("old_id").alias("b"))
+    verified = jaccard_on_candidates(sh_new.union(sh_old), cands, "doc_id")
+    return verified.filter(F.col("jaccard") >= 0.5).select(
+        "a", "b", "n_common", _r(F.col("jaccard")).alias("jaccard")
+    )
+
+
 def q_mixture_sample(spark, sf):
     """Deterministic domain-mixture resampling (DoReMi/Pile-style target
     mixture): keep the largest sample whose source shares equal the target
@@ -2552,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_url_history": q_scd2_url_history,
         "mixture_sample": q_mixture_sample,
         "similarity_quantized_topk": q_similarity_quantized_topk,
+        "dedup_incremental": q_dedup_incremental,
         "tpch_q15": q_tpch_q15,
         "tpch_q19": q_tpch_q19,
         # -- rotate a few legacy queries through the remaining window slots --
@@ -2757,6 +2797,52 @@ def oracle_sql() -> dict[str, str]:
             FROM vers
         """,
         "similarity_quantized_topk": _quantized_oracle(),
+        "dedup_incremental": """
+            WITH shingles AS (
+              SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+              FROM documents, unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS t(i)
+              WHERE length(substr(text, i, 5)) = 5),
+                 sig AS (
+              SELECT doc_id,
+                     [min(('0x' || substr(md5(shingle || '#0'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#1'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#2'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#3'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#4'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#5'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#6'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#7'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#8'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#9'),  1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#10'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#11'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#12'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#13'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#14'), 1, 15))::BIGINT),
+                      min(('0x' || substr(md5(shingle || '#15'), 1, 15))::BIGINT)] AS sig
+              FROM shingles GROUP BY doc_id),
+                 banded AS (
+              SELECT doc_id AS k, b.band,
+                     md5(array_to_string(sig[b.band*4 + 1 : b.band*4 + 4], ',')) AS bh
+              FROM sig, unnest([0, 1, 2, 3]) AS b(band)),
+                 cands AS (
+              SELECT DISTINCT n.k AS a, o.k AS b
+              FROM banded n JOIN banded o ON n.band = o.band AND n.bh = o.bh
+              WHERE n.k >= 400 AND o.k < 400),
+                 sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+                 inter AS (
+              SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS n_common
+              FROM shingles s1 JOIN shingles s2 USING (shingle)
+              WHERE s1.doc_id >= 400 AND s2.doc_id < 400 GROUP BY 1, 2)
+            SELECT i.a, i.b, i.n_common,
+                   round(i.n_common::DOUBLE / (za.sz + zb.sz - i.n_common), 4) AS jaccard
+            FROM inter i
+            JOIN sizes za ON za.doc_id = i.a
+            JOIN sizes zb ON zb.doc_id = i.b
+            WHERE EXISTS (SELECT 1 FROM cands c WHERE c.a = i.a AND c.b = i.b)
+              AND i.n_common::DOUBLE / (za.sz + zb.sz - i.n_common) >= 0.5
+            ORDER BY i.a, i.b
+        """,
         "tpch_q15": """
             WITH rev AS (
               SELECT l_suppkey,

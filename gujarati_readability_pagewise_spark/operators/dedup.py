@@ -31,6 +31,8 @@ __all__ = [
     "char_shingles",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "lsh_banded",
+    "lsh_cross_candidates",
     "jaccard_pairs",
     "jaccard_on_candidates",
     "simhash",
@@ -209,6 +211,77 @@ def lsh_candidate_pairs(
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
         .filter(F.col("a.k") < F.col("b.k"))
         .select(F.col("a.k").alias("a"), F.col("b.k").alias("b"))
+        .distinct()
+    )
+
+
+def lsh_banded(
+    sig: DataFrame, key_col: str = "doc_id", bands: int = 4, n_hashes: int = 16
+) -> DataFrame:
+    """(key, band, bh) band table — the INDEX you persist between crawls.
+
+    Same banding expressions as ``lsh_candidate_pairs`` (including the
+    size(sig) runtime invariant); exposed separately so incremental dedup
+    can band only the NEW snapshot and join it against the stored bands of
+    the existing corpus.
+    """
+    if n_hashes % bands:
+        raise ValueError(f"n_hashes={n_hashes} not divisible by bands={bands}")
+    r = n_hashes // bands
+
+    def _bh(b: int):
+        h = F.md5(
+            F.concat_ws(
+                ",", *[F.col("sig")[b * r + i].cast("string") for i in range(r)]
+            )
+        )
+        if b != 0:
+            return h
+        return F.when(F.size("sig") == n_hashes, h).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"lsh_banded: size(sig) != n_hashes={n_hashes}"
+                        " (signature/band arguments out of sync; got "
+                    ),
+                    F.size("sig").cast("string"),
+                    F.lit(")"),
+                )
+            )
+        )
+
+    structs = [
+        F.struct(F.lit(b).alias("band"), _bh(b).alias("bh")) for b in range(bands)
+    ]
+    return sig.select(
+        F.col(key_col).alias("k"), F.explode(F.array(*structs)).alias("bb")
+    ).select("k", "bb.band", "bb.bh")
+
+
+def lsh_cross_candidates(
+    sig_new: DataFrame,
+    sig_old: DataFrame,
+    key_col: str = "doc_id",
+    bands: int = 4,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """Incremental dedup candidates: NEW docs sharing any MinHash band with
+    the EXISTING corpus — (new_id, old_id) pairs, never new×new.
+
+    The production incremental-crawl shape: the old side is the persisted
+    band index (``lsh_banded`` written at the previous crawl), so a daily
+    ingest bands only its own documents and equi-joins on (band, bh) —
+    cost proportional to the NEW snapshot, not the accumulated corpus;
+    verify with ``jaccard_on_candidates`` exactly as in the batch path.
+    """
+    new_b = lsh_banded(sig_new, key_col, bands, n_hashes).alias("n")
+    old_b = lsh_banded(sig_old, key_col, bands, n_hashes).alias("o")
+    return (
+        new_b.join(
+            old_b,
+            (F.col("n.band") == F.col("o.band")) & (F.col("n.bh") == F.col("o.bh")),
+        )
+        .select(F.col("n.k").alias("new_id"), F.col("o.k").alias("old_id"))
         .distinct()
     )
 

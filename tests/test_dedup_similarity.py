@@ -402,3 +402,31 @@ def test_quantized_topk_tracks_exact_ranking(spark):
     a = sorted(map(tuple, quantized_topk(emb.repartition(1), q, k=3, dim=64).collect()))
     b = sorted(map(tuple, quantized_topk(emb.repartition(16), q, k=3, dim=64).collect()))
     assert a == b
+
+
+def test_lsh_cross_candidates_incremental_shape(spark, docs):
+    """Incremental dedup: only (new, old) pairs come back — never new x new
+    or old x old — and a planted verbatim duplicate of an old doc is always
+    found (identical docs share every band)."""
+    from gujarati_readability_pagewise_spark.operators.dedup import (
+        lsh_cross_candidates,
+    )
+
+    old = docs  # doc_ids 0..5
+    new = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text"
+    ).union(
+        spark.createDataFrame(
+            [(101, "entirely unrelated fresh content nothing shared here at all")],
+            "doc_id int, text string",
+        )
+    )
+    sh_old = char_shingles(old, k=5)
+    sh_new = char_shingles(new, k=5)
+    cands = lsh_cross_candidates(
+        minhash_signatures(sh_new, n_hashes=16),
+        minhash_signatures(sh_old, n_hashes=16),
+        bands=4,
+    ).collect()
+    assert all(r["new_id"] >= 100 and r["old_id"] < 100 for r in cands)
+    assert (100, 0) in {(r["new_id"], r["old_id"]) for r in cands}  # planted dup
