@@ -2461,6 +2461,65 @@ def q_mixture_sample(spark, sf):
     return out.select("doc_id", "source", "mix_rank")
 
 
+def q_streaming_scd2(spark, sf):
+    """STREAM ≡ BATCH oracle for the incremental SCD2 merge: the same
+    synthetic re-crawl log as scd2_url_history arrives as a file stream in
+    arbitrary micro-batch order; scd2_stream_merge maintains the history
+    table via log-append + per-bucket idempotent recompute (foreachBatch);
+    the final table must equal the batch SCD2 derivation exactly — DuckDB
+    re-derives it directly from the full log (same oracle SQL as the batch
+    query)."""
+    import shutil
+    import tempfile
+
+    from gujarati_readability_pagewise_spark.streaming.ingest import (
+        scd2_stream_merge,
+    )
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    fetches = docs.withColumn(
+        "fetch", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
+    )
+    content = F.when(
+        (F.col("fetch") >= 1) & (F.col("doc_id") % 3 == 0),
+        F.when(
+            (F.col("fetch") == 2) & (F.col("doc_id") % 5 == 0),
+            F.concat(F.col("text"), F.lit(" [u2]")),
+        ).otherwise(F.concat(F.col("text"), F.lit(" [u1]"))),
+    ).otherwise(F.col("text"))
+    log = fetches.select(
+        F.col("doc_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id") * 100 + F.col("fetch")
+        ).alias("fetch_ts"),
+        F.md5(content).alias("fp"),
+    )
+    src = tempfile.mkdtemp(prefix="graft_scd2_src_")
+    state = tempfile.mkdtemp(prefix="graft_scd2_state_")
+    shutil.rmtree(state, ignore_errors=True)
+    # 12 files -> several micro-batches at maxFilesPerTrigger=4, in
+    # whatever order the file source lists them (the merge is order-free)
+    log.repartition(12).write.mode("overwrite").parquet(src)
+    for q in spark.streams.active:
+        if q.name == "graft_stream_scd2":
+            q.stop()
+    stream = (
+        spark.readStream.schema("doc_id bigint, fetch_ts timestamp, fp string")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    sq = (
+        scd2_stream_merge(spark, stream, state, key_col="doc_id")
+        .queryName("graft_stream_scd2")
+        .start()
+    )
+    sq.processAllAvailable()
+    sq.stop()
+    return spark.read.parquet(f"{state}/history").select(
+        "doc_id", "version", "valid_from", "valid_to", "fp", "is_current"
+    )
+
+
 def q_tpch_q13(spark, sf):
     """Q13 shape — the one classic outer-join form the suite lacked: LEFT
     join customer→orders with the predicate in the join (zero-order
@@ -2578,7 +2637,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_histogram": q_text_length_histogram,
         "report_roc_points": q_report_roc_points,
         "report_pred_histogram": q_report_pred_histogram,
-        "f1_slug_cascade": q_f1_slug_cascade,
         "f3_ts_format": q_f3_ts_format,
         "a5b_auc": q_a5b_auc,
         # -- new in round 3 --
@@ -2589,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_fluency": q_bigram_fluency,
         "histogram_quantiles": q_histogram_quantiles,
         "scd2_url_history": q_scd2_url_history,
+        "streaming_scd2": q_streaming_scd2,
         "mixture_sample": q_mixture_sample,
         "similarity_quantized_topk": q_similarity_quantized_topk,
         "dedup_incremental": q_dedup_incremental,
@@ -2623,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_split_counts": q_u1_split_counts,
         "u2_count_distinct": q_u2_count_distinct,
         "f1_host_extract": q_f1_host_extract,
+        "f1_slug_cascade": q_f1_slug_cascade,
         "f2_rating_parse": q_f2_rating_parse,
         "u4_intersect": q_u4_intersect,
         "u5_except": q_u5_except,
@@ -2768,6 +2828,35 @@ def oracle_sql() -> dict[str, str]:
             FROM hit, mm WHERE rn = 1
         """,
         "scd2_url_history": """
+            WITH log AS (
+              SELECT doc_id,
+                     epoch_ms((1704067200 + doc_id * 100 + fetch_i) * 1000)
+                       AS fetch_ts,
+                     md5(CASE WHEN fetch_i >= 1 AND doc_id % 3 = 0
+                              THEN CASE WHEN fetch_i = 2 AND doc_id % 5 = 0
+                                        THEN text || ' [u2]'
+                                        ELSE text || ' [u1]' END
+                              ELSE text END) AS fp
+              FROM documents, unnest([0, 1, 2]) t(fetch_i)
+              WHERE doc_id < 300),
+                 ch AS (
+              SELECT doc_id, fetch_ts, fp,
+                     lag(fp) OVER (PARTITION BY doc_id ORDER BY fetch_ts)
+                       AS prev
+              FROM log),
+                 vers AS (
+              SELECT doc_id, fetch_ts, fp,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY fetch_ts) AS INT)
+                       AS version,
+                     lead(fetch_ts) OVER (PARTITION BY doc_id
+                                          ORDER BY fetch_ts) AS valid_to
+              FROM ch WHERE prev IS NULL OR fp <> prev)
+            SELECT doc_id, version, fetch_ts AS valid_from, valid_to, fp,
+                   CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+            FROM vers
+        """,
+        "streaming_scd2": """
             WITH log AS (
               SELECT doc_id,
                      epoch_ms((1704067200 + doc_id * 100 + fetch_i) * 1000)

@@ -24,7 +24,14 @@ from pyspark.sql import functions as F
 
 from ..sources.pages import PAGES_SCHEMA_DDL
 
-__all__ = ["stream_pages", "dedup_recrawls", "windowed_host_counts", "stream_extract"]
+__all__ = [
+    "stream_pages",
+    "dedup_recrawls",
+    "windowed_host_counts",
+    "stream_extract",
+    "scd2_stream_merge",
+    "scd2_merge_batch",
+]
 
 
 def stream_pages(spark: SparkSession, src_dir: str) -> DataFrame:
@@ -103,3 +110,78 @@ def stream_extract(
         sink(scored, epoch_id)
 
     return pages.writeStream.foreachBatch(run)
+
+
+def scd2_stream_merge(
+    spark: SparkSession,
+    fetches: DataFrame,
+    state_dir: str,
+    key_col: str = "url",
+    ts_col: str = "fetch_ts",
+    fp_col: str = "fp",
+    n_buckets: int = 8,
+):
+    """Incrementally maintain an SCD2 url-version table from a fetch stream.
+
+    The warehouse merge pattern on plain parquet (Iceberg MERGE INTO with
+    jars; the contract is identical):
+
+    * every micro-batch APPENDS its raw fetch rows to ``state_dir/log``
+      (append-only, replay-safe);
+    * the history for the KEYS TOUCHED in this batch is recomputed from
+      the accumulated log (filtered to the affected key-hash buckets —
+      cost ∝ touched buckets, never the whole corpus) with the batch
+      ``scd2_history`` operator, and written back with dynamic partition
+      overwrite on the bucket column — idempotent, so an at-least-once
+      foreachBatch retry rewrites the same bytes;
+    * reads of ``state_dir/history`` see complete per-bucket histories.
+
+    Because each merge recomputes from the full log slice, the final table
+    is independent of micro-batch arrival ORDER — late or out-of-order
+    fetches land in the right validity period, which watermark-free
+    lag/lead streaming could not guarantee.  Duplicate (key, ts) rows from
+    replays collapse via dropDuplicates before the window.
+
+    Returns the DataStreamWriter (caller starts/stops it).
+    """
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        scd2_merge_batch(
+            spark, batch_df, state_dir, key_col, ts_col, fp_col, n_buckets
+        )
+
+    return fetches.writeStream.foreachBatch(merge)
+
+
+def scd2_merge_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_dir: str,
+    key_col: str = "url",
+    ts_col: str = "fetch_ts",
+    fp_col: str = "fp",
+    n_buckets: int = 8,
+) -> None:
+    """One merge step of ``scd2_stream_merge`` (module-level so tests and
+    backfill jobs can drive it directly): append the batch to the log,
+    recompute history for the touched buckets, dynamic-overwrite them."""
+    from ..plans.snapshots import scd2_history
+
+    log_dir = f"{state_dir}/log"
+    hist_dir = f"{state_dir}/history"
+    bkt = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
+    b = batch_df.select(key_col, ts_col, fp_col)
+    b.write.mode("append").parquet(log_dir)
+    touched = [
+        r["b"] for r in b.select(bkt.alias("b")).distinct().collect()
+    ]  # bounded: ≤ n_buckets
+    if not touched:
+        return
+    log = (
+        spark.read.parquet(log_dir)
+        .withColumn("_bkt", bkt)
+        .filter(F.col("_bkt").isin(touched))
+        .dropDuplicates([key_col, ts_col])
+    )
+    hist = scd2_history(log, key_col, ts_col, fp_col).withColumn("_bkt", bkt)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    hist.write.mode("overwrite").partitionBy("_bkt").parquet(hist_dir)
