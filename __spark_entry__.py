@@ -2444,6 +2444,67 @@ def q_dedup_incremental(spark, sf):
     )
 
 
+def q_tpch_q10(spark, sf):
+    """Q10 shape (returned-item revenue): 4-way join (customer ⋈ orders ⋈
+    lineitem(returnflag='R') ⋈ broadcast nation), per-customer revenue in
+    cent fixed-point, top 20 by revenue with deterministic tie-break —
+    join-agg-topk with a date band and a dimension broadcast."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = load_table(spark, sf, "nation")
+    rev_fp = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev_fp).alias("revenue_fp"))
+        .orderBy(F.desc("revenue_fp"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q7(spark, sf):
+    """Q7 shape (volume shipping): supplier-nation × customer-nation flows
+    for an (unordered) nation pair, revenue per (supp_nation, cust_nation,
+    ship year) — two dimension broadcasts + a year extraction group key."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev_fp = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(n1), sup["s_nationkey"] == F.col("s_nk"))
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(rev_fp).alias("revenue_fp"))
+    )
+
+
 def q_mixture_sample(spark, sf):
     """Deterministic domain-mixture resampling (DoReMi/Pile-style target
     mixture): keep the largest sample whose source shares equal the target
@@ -2696,6 +2757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q22": q_tpch_q22,
         "tpch_q17": q_tpch_q17,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q7": q_tpch_q7,
         "text_token_count": q_text_token_count,
         "lang_distribution": q_lang_distribution,
         "w3_topk_indices": q_w3_topk_indices,
@@ -2978,6 +3041,36 @@ def oracle_sql() -> dict[str, str]:
               FROM documents d WHERE d.source IN ('src0', 'src1', 'src2'))
             SELECT r.doc_id, r.source, r.mix_rank
             FROM ranked r JOIN q ON q.source = r.source AND r.mix_rank <= q.quota
+        """,
+        "tpch_q10": """
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                        * 100) AS BIGINT)) AS BIGINT) AS revenue_fp
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue_fp DESC, c.c_custkey ASC
+            LIMIT 20
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS INT) AS l_year,
+                   CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                        * 100) AS BIGINT)) AS BIGINT) AS revenue_fp
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
         """,
         "tpch_q13": """
             SELECT c_count, count(*) AS custdist FROM (
