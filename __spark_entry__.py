@@ -1060,7 +1060,7 @@ def q_dedup_verified_pairs(spark, sf):
     comparison — the shape that stays near-linear at 10^12 docs."""
     from gujarati_readability_pagewise_spark.operators.dedup import (
         char_shingles,
-        jaccard_on_candidates,
+        jaccard_on_candidates_arrays,
         lsh_candidate_pairs,
         minhash_signatures,
     )
@@ -1071,7 +1071,7 @@ def q_dedup_verified_pairs(spark, sf):
     cands = lsh_candidate_pairs(
         minhash_signatures(sh, "doc_id", n_hashes=16), "doc_id", bands=4
     )
-    verified = jaccard_on_candidates(sh, cands, "doc_id")
+    verified = jaccard_on_candidates_arrays(sh, cands, "doc_id")
     # no global orderBy: the driver's compare is order-insensitive and a
     # range sort re-executes the whole verify pipeline for bound sampling
     # (measured 5x the query cost) while adding nothing semantically
@@ -1099,7 +1099,7 @@ def q_dedup_verified_components(spark, sf):
     )
     from gujarati_readability_pagewise_spark.operators.dedup import (
         char_shingles,
-        jaccard_on_candidates,
+        jaccard_on_candidates_arrays,
         lsh_candidate_pairs,
         minhash_signatures,
     )
@@ -1110,7 +1110,7 @@ def q_dedup_verified_components(spark, sf):
     cands = lsh_candidate_pairs(
         minhash_signatures(sh, "doc_id", n_hashes=16), "doc_id", bands=4
     )
-    verified = jaccard_on_candidates(sh, cands, "doc_id")
+    verified = jaccard_on_candidates_arrays(sh, cands, "doc_id")
     edges = verified.filter(F.col("jaccard") >= 0.5).select("a", "b")
     return connected_components(edges)
 
@@ -2421,7 +2421,7 @@ def q_dedup_incremental(spark, sf):
     only.  The daily-ingest shape at 10^12 accumulated docs."""
     from gujarati_readability_pagewise_spark.operators.dedup import (
         char_shingles,
-        jaccard_on_candidates,
+        jaccard_on_candidates_arrays,
         lsh_cross_candidates,
         minhash_signatures,
     )
@@ -2438,7 +2438,7 @@ def q_dedup_incremental(spark, sf):
         "doc_id",
         bands=4,
     ).select(F.col("new_id").alias("a"), F.col("old_id").alias("b"))
-    verified = jaccard_on_candidates(sh_new.union(sh_old), cands, "doc_id")
+    verified = jaccard_on_candidates_arrays(sh_new.union(sh_old), cands, "doc_id")
     return verified.filter(F.col("jaccard") >= 0.5).select(
         "a", "b", "n_common", _r(F.col("jaccard")).alias("jaccard")
     )
