@@ -1,0 +1,80 @@
+"""Source-format breadth: the engine's tables round-trip through every
+bundled columnar/text format (parquet is the primary; ORC ships in Spark;
+CSV is the interchange fallback with explicit schema + timestamp format).
+"""
+
+from pyspark.sql import functions as F
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == docs.schema
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    """CSV needs an explicit schema on read (everything is string
+    otherwise) and quoting for embedded delimiters/newlines."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    p = str(tmp_path / "orders_csv")
+    (
+        orders.write.mode("overwrite")
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(p)
+    )
+    back = (
+        spark.read.schema(orders.schema)
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(p)
+    )
+    assert back.schema == orders.schema
+    a = sorted(map(tuple, orders.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_formats_agree_under_a_query(spark, tmp_path):
+    """The same aggregation must give identical results over parquet, ORC,
+    and CSV copies of a table — format is storage, not semantics."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orc_p = str(tmp_path / "li_orc")
+    csv_p = str(tmp_path / "li_csv")
+    li.write.mode("overwrite").orc(orc_p)
+    (
+        li.write.mode("overwrite")
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(csv_p)
+    )
+
+    def agg(df):
+        return sorted(
+            map(
+                tuple,
+                df.groupBy("l_returnflag")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+                        "rev_fp"
+                    ),
+                )
+                .collect(),
+            )
+        )
+
+    want = agg(li)
+    assert agg(spark.read.orc(orc_p)) == want
+    got_csv = agg(
+        spark.read.schema(li.schema)
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(csv_p)
+    )
+    assert got_csv == want
