@@ -78,3 +78,27 @@ def test_formats_agree_under_a_query(spark, tmp_path):
         .csv(csv_p)
     )
     assert got_csv == want
+
+
+def test_parquet_pushdown_and_column_pruning(spark):
+    """Predicate pushdown and column pruning must reach the parquet scan:
+    the physical plan's scan node carries PushedFilters for the shipdate
+    band and a ReadSchema of ONLY the projected columns — a scan that
+    reads all 11 lineitem columns for a 2-column projection would be
+    wrong at any scale."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = (
+        li.filter(F.col("l_shipdate") >= F.lit("1996-01-01"))
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    # scan schema: exactly the projected columns + the filter column
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_quantity", "l_shipdate"}, cols
