@@ -2581,6 +2581,46 @@ def q_streaming_scd2(spark, sf):
     )
 
 
+def q_pii_scrub(spark, sf):
+    """PII scrubbing (the email/IPv4/phone redaction tier every public
+    corpus pipeline runs before training): deterministic PII is planted
+    into the documents (every 7th doc an email + an IPv4, every 11th a
+    phone number), then functions/scrub redacts in a fixed chain and
+    emits audit counts + an md5 of the redacted text — the oracle
+    re-derives the planting AND the full replacement chain (pattern
+    dialect restricted to constructs with identical Java-regex/RE2
+    semantics)."""
+    from gujarati_readability_pagewise_spark.functions.scrub import (
+        scrub_documents,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example-site.org via 10.0."),
+                    F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+                    F.lit(".15"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call +1 555 010 "),
+                    F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_documents(planted)
+
+
 def q_tpch_q13(spark, sf):
     """Q13 shape — the one classic outer-join form the suite lacked: LEFT
     join customer→orders with the predicate in the join (zero-order
@@ -2759,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q10": q_tpch_q10,
         "tpch_q7": q_tpch_q7,
+        "pii_scrub": q_pii_scrub,
         "text_token_count": q_text_token_count,
         "lang_distribution": q_lang_distribution,
         "w3_topk_indices": q_w3_topk_indices,
@@ -3041,6 +3082,35 @@ def oracle_sql() -> dict[str, str]:
               FROM documents d WHERE d.source IN ('src0', 'src1', 'src2'))
             SELECT r.doc_id, r.source, r.mix_rank
             FROM ranked r JOIN q ON q.source = r.source AND r.mix_rank <= q.quota
+        """,
+        "pii_scrub": """
+            WITH planted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                  || '@example-site.org via 10.0.'
+                                  || CAST(doc_id % 256 AS VARCHAR) || '.15'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN ' call +1 555 010 '
+                                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                             ELSE '' END AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                     '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INT) AS n_ips,
+                   CAST(len(regexp_extract_all(text,
+                     '\\+?\\d[\\d -]{7,}\\d')) AS INT) AS n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                     '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g')) AS scrubbed_md5
+            FROM planted
         """,
         "tpch_q10": """
             SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,

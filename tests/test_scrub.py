@@ -1,0 +1,69 @@
+"""PII scrubbing: boundary cases + Spark<->DuckDB regex dialect parity."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from gujarati_readability_pagewise_spark.functions.scrub import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    scrub_documents,
+    scrub_pii,
+)
+
+CASES = [
+    "contact me at bob.smith+x@mail-site.co.uk or 192.168.1.254 thanks",
+    "call +44 20 7946 0958 now",
+    "v1.2.3.4 release notes",  # version string: no \\b before the 1 -> kept
+    "price 10.5 and a@b.io plus 10.0.0.1:8080",
+    "digits 1234567890123 in a row",  # long digit run -> phone-like
+    "no pii here at all",
+    "",
+    "double a@b.co c@d.org and 8.8.8.8 1.1.1.1",
+]
+
+
+def test_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CASES)], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in scrub_documents(df).collect()}
+    assert (out[0]["n_emails"], out[0]["n_ips"], out[0]["n_phones"]) == (1, 1, 0)
+    assert (out[1]["n_phones"], out[2]["n_ips"]) == (1, 0)  # version kept
+    assert (out[7]["n_emails"], out[7]["n_ips"]) == (2, 2)
+    scrubbed = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", scrub_pii(F.col("text")).alias("s")).collect()
+    }
+    assert scrubbed[0] == "contact me at <EMAIL> or <IP> thanks"
+    assert scrubbed[2] == "v1.2.3.4 release notes"
+    assert scrubbed[7] == "double <EMAIL> <EMAIL> and <IP> <IP>"
+
+
+def test_scrub_dialect_parity_with_duckdb(spark):
+    """Every pattern must behave identically under Java regex and RE2 —
+    the property the oracle depends on."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CASES)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_emails"], r["n_ips"], r["n_phones"], r["s"])
+        for r in df.select(
+            "doc_id",
+            F.regexp_count("text", F.lit(EMAIL_RE)).alias("n_emails"),
+            F.regexp_count("text", F.lit(IPV4_RE)).alias("n_ips"),
+            F.regexp_count("text", F.lit(PHONE_RE)).alias("n_phones"),
+            scrub_pii(F.col("text")).alias("s"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(CASES):
+        want = con.execute(
+            "SELECT len(regexp_extract_all(?, ?)), len(regexp_extract_all(?, ?)),"
+            " len(regexp_extract_all(?, ?)),"
+            " regexp_replace(regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'),"
+            " ?, '<IP>', 'g'), ?, '<PHONE>', 'g')",
+            [t, EMAIL_RE, t, IPV4_RE, t, PHONE_RE, t, EMAIL_RE, IPV4_RE, PHONE_RE],
+        ).fetchone()
+        assert got[i] == want, (i, got[i], want)
