@@ -167,17 +167,23 @@ def main() -> None:
     queries: dict[str, float] = {}
 
     # -- scaling runs: N=2 vs 4N=8 cores, pinned; plus unpinned peak -------
-    r2 = _run_worker("local[2]", pages_dir, 3, pin="0-1")
-    # 8 and 32 cores: best-of-5 with explicit pinning, INTERLEAVED in two
-    # blocks (8,32,8,32) so slow host drift (sibling VM load changing over
-    # minutes) hits both levels symmetrically instead of biasing whichever
+    # ALL levels best-of-N with explicit pinning, INTERLEAVED in two blocks
+    # (2,8,32, 2,8,32) so slow host drift (sibling VM load changing over
+    # minutes) hits every level symmetrically instead of biasing whichever
     # level ran in the bad window; a single noisy trial at high parallelism
     # costs ~20% apparent efficiency, best-of approximates unloaded
     # capability (BENCH.md knob sweep)
+    r2a = _run_worker("local[2]", pages_dir, 2, pin="0-1")
     r8a = _run_worker("local[8]", pages_dir, 3, pin="0-7")
     r32a = _run_worker(f"local[{CPUS}]", pages_dir, 3, pin=f"0-{CPUS - 1}")
+    r2b = _run_worker("local[2]", pages_dir, 1, pin="0-1")
     r8b = _run_worker("local[8]", pages_dir, 2, pin="0-7")
     r32b = _run_worker(f"local[{CPUS}]", pages_dir, 2, pin=f"0-{CPUS - 1}")
+    r2 = {
+        "pages": r2a["pages"],
+        "trials_sec": r2a["trials_sec"] + r2b["trials_sec"],
+    }
+    r2["sec"] = min(r2["trials_sec"])
     r8 = {
         "pages": r8a["pages"],
         "trials_sec": r8a["trials_sec"] + r8b["trials_sec"],
