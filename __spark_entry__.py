@@ -2581,6 +2581,42 @@ def q_streaming_scd2(spark, sf):
     )
 
 
+def q_salted_summary(spark, sf):
+    """The salted two-stage aggregation under the gate: per-host
+    count/sum/avg/min/max of l_quantity over the planted ~30%-hot-host
+    derivation (heavy_hitters_approx's), computed via (key, salt) partials
+    merged in a second stage — the wide-aggregation skew cure.  The oracle
+    is a PLAIN GROUP BY: the two-stage result must be value-identical
+    (quantities are integral doubles, so the partial sums merge exactly;
+    the salt is a deterministic row hash, never rand())."""
+    from gujarati_readability_pagewise_spark.operators.skew import salted_summary
+
+    li = load_table(spark, sf, "lineitem")
+    hosts = li.select(
+        F.when(
+            F.pmod(F.col("l_orderkey"), F.lit(10)) < 3, F.lit("hot.example.com")
+        )
+        .otherwise(
+            F.concat(
+                F.lit("host-"),
+                F.pmod(F.col("l_orderkey"), F.lit(1000)).cast("string"),
+                F.lit(".example.com"),
+            )
+        )
+        .alias("host"),
+        F.col("l_quantity").alias("qty"),
+    )
+    out = salted_summary(hosts, "host", "qty", n_salts=16)
+    return out.select(
+        "host",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_qty"),
+        "avg_value",
+        F.col("min_value").alias("min_qty"),
+        F.col("max_value").alias("max_qty"),
+    )
+
+
 def q_pii_scrub(spark, sf):
     """PII scrubbing (the email/IPv4/phone redaction tier every public
     corpus pipeline runs before training): deterministic PII is planted
@@ -2800,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q7": q_tpch_q7,
         "pii_scrub": q_pii_scrub,
+        "salted_summary": q_salted_summary,
         "text_token_count": q_text_token_count,
         "lang_distribution": q_lang_distribution,
         "w3_topk_indices": q_w3_topk_indices,
@@ -3082,6 +3119,20 @@ def oracle_sql() -> dict[str, str]:
               FROM documents d WHERE d.source IN ('src0', 'src1', 'src2'))
             SELECT r.doc_id, r.source, r.mix_rank
             FROM ranked r JOIN q ON q.source = r.source AND r.mix_rank <= q.quota
+        """,
+        "salted_summary": """
+            WITH hosts AS (
+              SELECT CASE WHEN l_orderkey % 10 < 3 THEN 'hot.example.com'
+                          ELSE 'host-' || CAST(l_orderkey % 1000 AS VARCHAR)
+                               || '.example.com' END AS host,
+                     l_quantity AS qty
+              FROM lineitem)
+            SELECT host, count(*) AS n,
+                   sum(qty) AS sum_qty,
+                   sum(qty) / count(*) AS avg_value,
+                   min(qty) AS min_qty,
+                   max(qty) AS max_qty
+            FROM hosts GROUP BY host
         """,
         "pii_scrub": """
             WITH planted AS (
