@@ -2617,6 +2617,83 @@ def q_salted_summary(spark, sf):
     )
 
 
+def q_dedup_survivors(spark, sf):
+    """The dedup ENDPOINT — which documents survive: LSH clusters →
+    connected components → one representative per component (highest
+    n_chars, ties to the lowest doc_id; singletons survive as their own
+    component).  Emits the full audit table (doc_id, component,
+    is_survivor); the oracle re-derives clustering (recursive CTE) and the
+    representative rule."""
+    from gujarati_readability_pagewise_spark.operators.components import (
+        cluster_representatives,
+        connected_components,
+    )
+    from gujarati_readability_pagewise_spark.operators.dedup import (
+        char_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    par = spark.sparkContext.defaultParallelism
+    sh = char_shingles(docs, "text", "doc_id", k=5, n_partitions=par)
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(sh, "doc_id", n_hashes=16), "doc_id", bands=4
+    )
+    clusters = connected_components(pairs)
+    return cluster_representatives(clusters, docs)
+
+
+def _dedup_survivors_oracle() -> str:
+    """DuckDB oracle for dedup_survivors: the recursive-CTE clustering
+    (same construction as the dedup_components oracle) extended with the
+    representative rule (n_chars DESC, doc_id ASC per component; docs in
+    no pair are their own component)."""
+    sig_mins = ",\n                      ".join(
+        f"min(('0x' || substr(md5(shingle || '#{i}'), 1, 15))::BIGINT)"
+        for i in range(16)
+    )
+    return f"""
+        WITH RECURSIVE shingles AS (
+          SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+          FROM documents, unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS t(i)
+          WHERE length(substr(text, i, 5)) = 5),
+             sig AS (
+          SELECT doc_id, [{sig_mins}] AS sig
+          FROM shingles GROUP BY doc_id),
+             banded AS (
+          SELECT doc_id AS k, b.band,
+                 md5(array_to_string(sig[b.band*4 + 1 : b.band*4 + 4], ',')) AS bh
+          FROM sig, unnest([0, 1, 2, 3]) AS b(band)),
+             pairs AS (
+          SELECT DISTINCT a.k AS a, b.k AS b
+          FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+          WHERE a.k < b.k),
+             edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION SELECT b, a FROM pairs),
+             nodes AS (SELECT DISTINCT src AS n FROM edges),
+             reach(n, m) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src),
+             comp AS (
+          SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+             labeled AS (
+          SELECT d.doc_id, d.n_chars,
+                 COALESCE(c.component, d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+             ranked AS (
+          SELECT doc_id, component,
+                 row_number() OVER (PARTITION BY component
+                                    ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM labeled)
+        SELECT doc_id, component,
+               CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_survivor
+        FROM ranked
+    """
+
+
 def q_pii_scrub(spark, sf):
     """PII scrubbing (the email/IPv4/phone redaction tier every public
     corpus pipeline runs before training): deterministic PII is planted
@@ -2837,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "pii_scrub": q_pii_scrub,
         "salted_summary": q_salted_summary,
+        "dedup_survivors": q_dedup_survivors,
         "text_token_count": q_text_token_count,
         "lang_distribution": q_lang_distribution,
         "w3_topk_indices": q_w3_topk_indices,
@@ -3120,6 +3198,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.doc_id, r.source, r.mix_rank
             FROM ranked r JOIN q ON q.source = r.source AND r.mix_rank <= q.quota
         """,
+        "dedup_survivors": _dedup_survivors_oracle(),
         "salted_summary": """
             WITH hosts AS (
               SELECT CASE WHEN l_orderkey % 10 < 3 THEN 'hot.example.com'

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "cluster_representatives"]
 
 
 def connected_components(
@@ -78,3 +78,46 @@ def connected_components(
             f"({changed} labels still changing); raise max_iter"
         )
     return labels.select(F.col("n").alias("doc_id"), F.col("label").alias("component"))
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """The dedup ENDPOINT: which documents survive.
+
+    ``clusters`` is (key, component) from :func:`connected_components`
+    (near-dup clusters only — singletons are absent); every doc maps to a
+    component (its own key when unclustered), and each component keeps
+    exactly one representative: highest ``quality_col``, ties to the
+    lowest key — the ``min(struct(-quality, key))`` hash aggregation, so
+    selection is one partial-aggregable pass, no per-cluster window sort.
+
+    Output: (key, component, is_survivor ∈ {0,1}) for EVERY input doc —
+    filter ``is_survivor = 1`` for the cleaned corpus, or keep the full
+    table as the dedup audit log.
+    """
+    labeled = (
+        docs.select(key_col, quality_col)
+        .join(clusters, key_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(key_col)))
+    )
+    best = (
+        labeled.groupBy("component")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col(quality_col)).alias("negq"),
+                    F.col(key_col).alias("k"),
+                )
+            ).alias("m")
+        )
+        .select("component", F.col("m.k").alias("survivor_id"))
+    )
+    return labeled.join(best, "component").select(
+        key_col,
+        "component",
+        (F.col(key_col) == F.col("survivor_id")).cast("int").alias("is_survivor"),
+    )

@@ -129,3 +129,41 @@ def test_pagerank_deep_iteration_flat_plan(spark):
     a = pagerank_fixedpoint(edges.repartition(1), nodes, n_iter=20).orderBy("node").toPandas()
     b = pagerank_fixedpoint(edges.repartition(16), nodes, n_iter=20).orderBy("node").toPandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_cluster_representatives_endpoint(spark):
+    """Per component exactly one survivor (highest quality, tie -> lowest
+    id); singletons survive as their own component."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gujarati_readability_pagewise_spark.operators.components import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame([(1, 2), (2, 3), (5, 6)], columns=["a", "b"])
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4, 5, 6], "n_chars": [10, 30, 30, 7, 9, 9]}
+        )
+    )
+    clusters = connected_components(pairs)
+    out = {
+        r["doc_id"]: (r["component"], r["is_survivor"])
+        for r in cluster_representatives(clusters, docs).collect()
+    }
+    # cluster {1,2,3}: 2 and 3 tie on quality -> 2 wins (lower id)
+    assert out[1] == (1, 0) and out[2] == (1, 1) and out[3] == (1, 0)
+    # singleton 4 survives as its own component
+    assert out[4] == (4, 1)
+    # cluster {5,6}: tie -> 5
+    assert out[5] == (5, 1) and out[6] == (5, 0)
+    # exactly one survivor per component
+    from collections import Counter
+
+    surv = Counter(c for (c, s) in out.values() if s == 1)
+    comps = {c for (c, _) in out.values()}
+    assert surv == Counter({c: 1 for c in comps})
