@@ -102,3 +102,23 @@ def test_parquet_pushdown_and_column_pruning(spark):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"l_orderkey", "l_quantity", "l_shipdate"}, cols
+
+
+def test_verify_contract_compare_catches_mismatches():
+    """Meta-test of the gate harness itself: the compare must flag value,
+    row-count, and column mismatches (a gate that cannot fail proves
+    nothing)."""
+    import pandas as pd
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.verify_contract import compare
+
+    a = pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0]})
+    assert compare(a, a.copy()) == []
+    wrong_val = pd.DataFrame({"k": [1, 2], "v": [1.0, 2.5]})
+    assert any("diffs" in p for p in compare(a, wrong_val))
+    wrong_rows = pd.DataFrame({"k": [1], "v": [1.0]})
+    assert any("row count" in p for p in compare(a, wrong_rows))
+    wrong_cols = pd.DataFrame({"k": [1, 2], "w": [1.0, 2.0]})
+    assert any("columns differ" in p for p in compare(a, wrong_cols))

@@ -64,15 +64,19 @@ def semi_below_pair_agg(plan: str) -> bool:
     * a LeftSemi join under the aggregate (pair/key semi-restriction), or
     * a join keyed on the candidate pair's ``a`` column (the pair-driven
       form: cands ⋈ shingles(a) ⋈ shingles(b, shingle), which never
-      enumerates non-candidate pairs at all).
+      enumerates non-candidate pairs at all), or
+    * the array-intersect form (round 3): ``n_common`` comes from
+      ``array_intersect`` over per-doc ``collect_set`` arrays, and the
+      candidate restriction must sit below THAT aggregate — a
+      ``collect_set`` HashAggregate with a LeftSemi in its subtree.
 
     A plain shingle-keyed self-join under the aggregate (round-1 shape)
-    matches neither and fails.
+    matches none of these and fails.
     """
     cand_join = re.compile(r"Join (?:\w+ )*\[a#\d+")
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
-        if "HashAggregate" in ln and "n_common" in ln:
+        if "Aggregate" in ln and ("n_common" in ln or "collect_set" in ln):
             d = _node_depth(ln)
             for nxt in lines[i + 1 :]:
                 if nxt.strip() and _node_depth(nxt) <= d:
