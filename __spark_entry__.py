@@ -1504,6 +1504,76 @@ def q_corpus_curation(spark, sf):
     )
 
 
+def q_curation_funnel(spark, sf):
+    """Per-source ATTRITION FUNNEL over the full curation rule chain —
+    the observability artifact a production corpus pipeline publishes
+    ("how many docs did each rule remove"): cumulative survivors after
+    language-ID → quality threshold → length band → Gopher repetition
+    rules → exact dedup (winner per content digest among docs passing all
+    prior stages).  One pass over the scored table with conditional sums;
+    the dedup stage is the only window.  Every count is exact-integer; the
+    oracle re-derives the whole chain including the repetition signals."""
+    from gujarati_readability_pagewise_spark.functions.repetition import (
+        repetition_signals,
+    )
+    from gujarati_readability_pagewise_spark.functions.textstats import (
+        lang_id_expr,
+        quality_score_expr,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    rep = repetition_signals(
+        docs, n_partitions=spark.sparkContext.defaultParallelism
+    ).select("doc_id", F.col("keep").alias("rep_keep"))
+    scored = (
+        docs.select(
+            "doc_id",
+            "source",
+            "text",
+            lang_id_expr(F.col("text")).alias("lang_pred"),
+            quality_score_expr(F.col("text")).alias("q"),
+            F.length("text").alias("n_chars"),
+        )
+        .join(rep, "doc_id", "left")
+        .withColumn("f_lang", F.col("lang_pred").isin("gu", "hi", "en"))
+        .withColumn("f_q", F.col("f_lang") & (F.col("q") >= 0.55))
+        .withColumn(
+            "f_len",
+            F.col("f_q") & (F.col("n_chars") >= 80) & (F.col("n_chars") <= 20000),
+        )
+        .withColumn("f_rep", F.col("f_len") & F.coalesce("rep_keep", F.lit(False)))
+    )
+    w = W.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    final = (
+        scored.filter("f_rep")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_final"))
+    )
+    cnt = lambda c: F.sum(F.col(c).cast("long")).alias("n_" + c[2:])
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            cnt("f_lang"),
+            cnt("f_q"),
+            cnt("f_len"),
+            cnt("f_rep"),
+        )
+        .join(final, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_lang",
+            "n_q",
+            "n_len",
+            "n_rep",
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+        )
+    )
+
+
 def _synthetic_edges(spark, sf):
     """Deterministic 3-out-degree link graph over the documents' doc_id
     space: dst = (src·k + c) mod N for three (k, c) pairs.  Same formula
@@ -2915,6 +2985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "salted_summary": q_salted_summary,
         "dedup_survivors": q_dedup_survivors,
+        "curation_funnel": q_curation_funnel,
         "text_token_count": q_text_token_count,
         "lang_distribution": q_lang_distribution,
         "w3_topk_indices": q_w3_topk_indices,
@@ -4019,6 +4090,89 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, CAST(quota_rank AS INT) AS quota_rank
             FROM ranked WHERE quota_rank <= 15
             ORDER BY source, quota_rank
+        """,
+        "curation_funnel": r"""
+            WITH scored AS (
+              SELECT doc_id, source, text,
+                     CASE
+                       WHEN (length(text) - length(regexp_replace(text, '[઀-૿]', '', 'g')))::DOUBLE
+                            / greatest(length(text), 1) > 0.3 THEN 'gu'
+                       WHEN (length(text) - length(regexp_replace(text, '[ऀ-ॿ]', '', 'g')))::DOUBLE
+                            / greatest(length(text), 1) > 0.3 THEN 'hi'
+                       WHEN (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
+                            / greatest(length(text), 1) > 0.4 THEN 'en'
+                       ELSE 'und' END AS lang_pred,
+                     least(greatest(
+                       0.4 * (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0
+                                   WHEN length(text) >= 20 THEN 0.5 ELSE 0.0 END)
+                       + 0.4 * ((length(text) - length(regexp_replace(text,
+                              '[A-Za-z઀-૿ऀ-ॿ]', '', 'g')))::DOUBLE / greatest(length(text), 1))
+                       - 0.2 * ((length(text) - length(regexp_replace(text,
+                              '[0-9!-/:-@\[-`{-~]', '', 'g')))::DOUBLE / greatest(length(text), 1))
+                       + 0.2, 0.0), 1.0) AS q,
+                     length(text) AS n_chars
+              FROM documents),
+                 sents AS (
+              SELECT doc_id, arr[i] AS sent
+              FROM (SELECT doc_id, regexp_split_to_array(text, '\. ') AS arr
+                    FROM documents),
+                   unnest(range(1, len(arr) + 1)) t(i)
+              WHERE length(arr[i]) > 0),
+                 ps AS (SELECT doc_id, sent, count(*) AS cnt FROM sents GROUP BY 1, 2),
+                 ssig AS (
+              SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_sents,
+                     CAST(count(*) AS BIGINT) AS n_d
+              FROM ps GROUP BY 1),
+                 gr AS (
+              SELECT doc_id, n_chars, tk[i] || ' ' || tk[i + 1] AS gram
+              FROM (SELECT doc_id, length(text) AS n_chars,
+                           regexp_split_to_array(trim(text), '\s+') AS tk
+                    FROM documents),
+                   unnest(range(1, greatest(len(tk) - 1, 0) + 1)) t(i)
+              WHERE len(tk) >= 2),
+                 gc AS (SELECT doc_id, n_chars, gram, count(*) AS cnt
+                        FROM gr GROUP BY 1, 2, 3),
+                 gtop AS (
+              SELECT doc_id, cnt * length(gram) / n_chars::DOUBLE AS frac,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, gram ASC) AS rn
+              FROM gc),
+                 rep AS (
+              SELECT s.doc_id,
+                     CASE WHEN (s.n_sents - s.n_d) / s.n_sents::DOUBLE <= 0.30
+                               AND COALESCE(t.frac, 0.0) <= 0.20
+                          THEN 1 ELSE 0 END AS rep_keep
+              FROM ssig s LEFT JOIN gtop t ON t.doc_id = s.doc_id AND t.rn = 1),
+                 flags AS (
+              SELECT sc.doc_id, sc.source, sc.text,
+                     CASE WHEN sc.lang_pred IN ('gu', 'hi', 'en') THEN 1 ELSE 0 END
+                       AS f_lang,
+                     CASE WHEN sc.lang_pred IN ('gu', 'hi', 'en') AND sc.q >= 0.55
+                          THEN 1 ELSE 0 END AS f_q,
+                     CASE WHEN sc.lang_pred IN ('gu', 'hi', 'en') AND sc.q >= 0.55
+                               AND sc.n_chars BETWEEN 80 AND 20000
+                          THEN 1 ELSE 0 END AS f_len,
+                     CASE WHEN sc.lang_pred IN ('gu', 'hi', 'en') AND sc.q >= 0.55
+                               AND sc.n_chars BETWEEN 80 AND 20000
+                               AND COALESCE(r.rep_keep, 0) = 1
+                          THEN 1 ELSE 0 END AS f_rep
+              FROM scored sc LEFT JOIN rep r ON r.doc_id = sc.doc_id),
+                 final AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_final
+              FROM (SELECT source,
+                           row_number() OVER (PARTITION BY md5(text)
+                                              ORDER BY doc_id) AS rn
+                    FROM flags WHERE f_rep = 1)
+              WHERE rn = 1 GROUP BY source)
+            SELECT f.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(f_lang) AS BIGINT) AS n_lang,
+                   CAST(sum(f_q) AS BIGINT) AS n_q,
+                   CAST(sum(f_len) AS BIGINT) AS n_len,
+                   CAST(sum(f_rep) AS BIGINT) AS n_rep,
+                   COALESCE(any_value(fi.n_final), 0) AS n_final
+            FROM flags f LEFT JOIN final fi ON fi.source = f.source
+            GROUP BY f.source
         """,
         "corpus_curation": """
             WITH scored AS (
