@@ -316,3 +316,56 @@ def test_mixture_sample_hits_target_shares(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_mixture_sample_absent_strata_and_empty(spark):
+    """Weights naming absent strata must not crash (binding computed over
+    PRESENT strata only); an all-absent weight set returns empty."""
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(40), "source": ["a"] * 20 + ["b"] * 20})
+    )
+    out = mixture_sample(df, "source", "doc_id", {"a": 0.5, "zz": 0.5})
+    got = {r["source"] for r in out.collect()}
+    assert got == {"a"}  # 'zz' absent -> only 'a' contributes
+    empty = mixture_sample(df, "source", "doc_id", {"zz": 1.0})
+    assert empty.count() == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        mixture_sample(df, "source", "doc_id", {})
+
+
+def test_heavy_hitters_hash_sampled_deterministic_and_detects(spark):
+    """The hash-sampled pre-pass: partitioning/rerun independent (content-
+    deterministic sample) and the planted hot key is detected."""
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.operators.skew import (
+        heavy_hitters_hash_sampled,
+    )
+
+    rows = [(i, "hot" if i % 3 == 0 else f"h{i % 97}") for i in range(30000)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["rid", "host"]))
+    a = sorted(
+        map(
+            tuple,
+            heavy_hitters_hash_sampled(df, "host", "rid", min_share=0.1).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            heavy_hitters_hash_sampled(
+                df.repartition(16), "host", "rid", min_share=0.1
+            ).collect(),
+        )
+    )
+    assert a == b
+    assert any(r[0] == "hot" for r in a)  # ~33% key detected
+    assert all(r[0] == "hot" for r in a)  # 1% keys stay below the margin
