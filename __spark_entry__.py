@@ -3303,13 +3303,13 @@ def oracle_sql() -> dict[str, str]:
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
                      AS n_emails,
                    CAST(len(regexp_extract_all(text,
-                     '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INT) AS n_ips,
+                     '(^|[^\\p{L}0-9_.])((\\d{1,3}\\.){3}\\d{1,3})([^\\p{L}0-9_.]|$)')) AS INT) AS n_ips,
                    CAST(len(regexp_extract_all(text,
                      '\\+?\\d[\\d -]{7,}\\d')) AS INT) AS n_phones,
                    md5(regexp_replace(regexp_replace(regexp_replace(text,
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                      '<EMAIL>', 'g'),
-                     '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                     '(^|[^\\p{L}0-9_.])((\\d{1,3}\\.){3}\\d{1,3})([^\\p{L}0-9_.]|$)', '\\1<IP>\\4', 'g'),
                      '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g')) AS scrubbed_md5
             FROM planted
         """,

