@@ -45,14 +45,27 @@ def run_pipeline(
     model=None,
     n_buckets: int = 16,
     job_id: str | None = None,
+    scrub: bool = False,
 ) -> dict:
+    """``scrub=True`` redacts email/IPv4/phone PII from the extracted text
+    inside the same stage (functions/scrub).  Default OFF: the north-rule
+    invariant is byte-identical extracted text per url, and redaction is a
+    deliberate, opt-in deviation a corpus-release run turns on."""
     job_id = job_id or f"extract-{int(time.time())}"
     model = model or default_model()
     t0 = time.time()
 
+    def _stage(df: DataFrame) -> DataFrame:
+        out = with_extraction_and_score(df, model, include_spans=False)
+        if scrub:
+            from ..functions.scrub import scrub_pii
+
+            out = out.withColumn("text", scrub_pii(F.col("text")))
+        return out
+
     n_done = run_checkpointed(
         pages,
-        lambda df: with_extraction_and_score(df, model, include_spans=False),
+        _stage,
         out_dir=f"{out_root}/extracted",
         manifest_dir=f"{out_root}/manifest",
         n_buckets=n_buckets,
