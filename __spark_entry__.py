@@ -2600,6 +2600,7 @@ def q_streaming_scd2(spark, sf):
     the final table must equal the batch SCD2 derivation exactly — DuckDB
     re-derives it directly from the full log (same oracle SQL as the batch
     query)."""
+    import os
     import shutil
     import tempfile
 
@@ -2625,9 +2626,16 @@ def q_streaming_scd2(spark, sf):
         ).alias("fetch_ts"),
         F.md5(content).alias("fp"),
     )
-    src = tempfile.mkdtemp(prefix="graft_scd2_src_")
-    state = tempfile.mkdtemp(prefix="graft_scd2_state_")
-    shutil.rmtree(state, ignore_errors=True)
+    # Fixed per-process scratch root, wiped on every invocation: repeated
+    # gate/bench runs reuse (not accumulate) temp disk, and the log dir
+    # cannot grow across re-runs.  The returned DataFrame lazily reads
+    # {state}/history, so cleanup happens at the NEXT call, after the
+    # driver has collected this one.
+    root = os.path.join(tempfile.gettempdir(), "graft_scd2_scratch")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    state = os.path.join(root, "state")
+    os.makedirs(src, exist_ok=True)
     # 12 files -> several micro-batches at maxFilesPerTrigger=4, in
     # whatever order the file source lists them (the merge is order-free)
     log.repartition(12).write.mode("overwrite").parquet(src)
@@ -2688,18 +2696,23 @@ def q_salted_summary(spark, sf):
 
 
 def q_dedup_survivors(spark, sf):
-    """The dedup ENDPOINT — which documents survive: LSH clusters →
-    connected components → one representative per component (highest
-    n_chars, ties to the lowest doc_id; singletons survive as their own
-    component).  Emits the full audit table (doc_id, component,
-    is_survivor); the oracle re-derives clustering (recursive CTE) and the
-    representative rule."""
+    """The dedup ENDPOINT — which documents survive: LSH candidates →
+    exact-Jaccard(≥0.5) VERIFY → connected components → one representative
+    per component (highest n_chars, ties to the lowest doc_id; singletons
+    survive as their own component).  Clustering runs on VERIFIED edges,
+    never raw LSH candidates: one LSH false positive would glue two
+    unrelated clusters together and the representative rule would then
+    delete every real document but one (see dedup_verified_components).
+    Emits the full audit table (doc_id, component, is_survivor); the
+    oracle re-derives candidates, the exact-Jaccard verify, the
+    recursive-CTE clustering, and the representative rule."""
     from gujarati_readability_pagewise_spark.operators.components import (
         cluster_representatives,
         connected_components,
     )
     from gujarati_readability_pagewise_spark.operators.dedup import (
         char_shingles,
+        jaccard_on_candidates_arrays,
         lsh_candidate_pairs,
         minhash_signatures,
     )
@@ -2707,18 +2720,21 @@ def q_dedup_survivors(spark, sf):
     docs = load_table(spark, sf, "documents")
     par = spark.sparkContext.defaultParallelism
     sh = char_shingles(docs, "text", "doc_id", k=5, n_partitions=par)
-    pairs = lsh_candidate_pairs(
+    cands = lsh_candidate_pairs(
         minhash_signatures(sh, "doc_id", n_hashes=16), "doc_id", bands=4
     )
-    clusters = connected_components(pairs)
+    verified = jaccard_on_candidates_arrays(sh, cands, "doc_id")
+    edges = verified.filter(F.col("jaccard") >= 0.5).select("a", "b")
+    clusters = connected_components(edges)
     return cluster_representatives(clusters, docs)
 
 
 def _dedup_survivors_oracle() -> str:
-    """DuckDB oracle for dedup_survivors: the recursive-CTE clustering
-    (same construction as the dedup_components oracle) extended with the
-    representative rule (n_chars DESC, doc_id ASC per component; docs in
-    no pair are their own component)."""
+    """DuckDB oracle for dedup_survivors: LSH candidates + exact-Jaccard
+    (≥0.5) verify, then the recursive-CTE clustering (same construction as
+    the dedup_components oracle) extended with the representative rule
+    (n_chars DESC, doc_id ASC per component; docs in no verified pair are
+    their own component)."""
     sig_mins = ",\n                      ".join(
         f"min(('0x' || substr(md5(shingle || '#{i}'), 1, 15))::BIGINT)"
         for i in range(16)
@@ -2735,10 +2751,24 @@ def _dedup_survivors_oracle() -> str:
           SELECT doc_id AS k, b.band,
                  md5(array_to_string(sig[b.band*4 + 1 : b.band*4 + 4], ',')) AS bh
           FROM sig, unnest([0, 1, 2, 3]) AS b(band)),
-             pairs AS (
+             cands AS (
           SELECT DISTINCT a.k AS a, b.k AS b
           FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
           WHERE a.k < b.k),
+             sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+             inter AS (
+          SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS n_common
+          FROM shingles s1 JOIN shingles s2 USING (shingle)
+          WHERE s1.doc_id < s2.doc_id GROUP BY 1, 2),
+             pairs AS (
+          -- exact-Jaccard verify on the candidate set: integer counts, so
+          -- the >= 0.5 comparison is engine-exact
+          SELECT c.a, c.b
+          FROM cands c
+          JOIN inter i ON i.a = c.a AND i.b = c.b
+          JOIN sizes za ON za.doc_id = c.a
+          JOIN sizes zb ON zb.doc_id = c.b
+          WHERE i.n_common::DOUBLE / (za.sz + zb.sz - i.n_common) >= 0.5),
              edges AS (
           SELECT a AS src, b AS dst FROM pairs
           UNION SELECT b, a FROM pairs),
@@ -2877,15 +2907,22 @@ def q_heavy_hitters_approx(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS LOAD-BEARING: the round driver's correctness gate samples
-    # the FIRST 50 entries of this dict (r01/r02 CORRECTNESS key sets both
-    # equal their era's first 50).  Rounds 1-2 already recorded green driver
-    # rows for the legacy a*/j*/w*/o*/u*/f*/tpch_q* family, so the LLM-
-    # pipeline crown jewels (extract/features, dedup, similarity, graph,
-    # streaming, curation) — added after position 50 and therefore never
-    # driver-witnessed — now lead.  The tail queries stay enforced by
-    # tools/verify_contract.py (full 90+ sweep) and pytest.
+    # the FIRST 50 entries of this dict (each CORRECTNESS_r* key set equals
+    # its era's first 50).  Round-4 rotation: the 6 queries never witnessed
+    # in r1-r3 lead, followed by the round-4 additions, so that after this
+    # round EVERY query has at least one green driver row across r1-r4.
+    # Everything past position 50 stays enforced by the full local gate
+    # (tools/verify_contract.py, 106/106) and pytest.
     return {
-        # -- never driver-witnessed before round 3: the LLM-pipeline core --
+        # -- round-4 window head: the 6 queries never witnessed in any
+        # -- driver CORRECTNESS_r* (parked at 51+ in r3), per VERDICT r3 #1
+        "pii_scrub": q_pii_scrub,
+        "salted_summary": q_salted_summary,
+        "dedup_survivors": q_dedup_survivors,
+        "curation_funnel": q_curation_funnel,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        # -- LLM-pipeline core (driver-witnessed r3) --
         "pipeline_extract": q_pipeline_extract,
         "pipeline_features": q_pipeline_features,
         "pipeline_score_summary": q_pipeline_score_summary,
@@ -2980,12 +3017,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q22": q_tpch_q22,
         "tpch_q17": q_tpch_q17,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q7": q_tpch_q7,
-        "pii_scrub": q_pii_scrub,
-        "salted_summary": q_salted_summary,
-        "dedup_survivors": q_dedup_survivors,
-        "curation_funnel": q_curation_funnel,
         "text_token_count": q_text_token_count,
         "lang_distribution": q_lang_distribution,
         "w3_topk_indices": q_w3_topk_indices,
@@ -3098,7 +3129,8 @@ def oracle_sql() -> dict[str, str]:
                           ELSE least(CAST(floor((l_extendedprice - mm.lo)
                                      / ((mm.hi - mm.lo) / 256.0)) AS INT), 255)
                      END AS bucket
-              FROM lineitem, mm),
+              FROM lineitem, mm
+              WHERE l_extendedprice IS NOT NULL),
                  counts AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
                  cum AS (
               SELECT bucket,
@@ -3251,13 +3283,19 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (
               SELECT source, count(*) AS n FROM documents
               WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
-                 wts AS (
+                 wts0 AS (
               SELECT * FROM (VALUES ('src0', 0.5e0), ('src1', 0.25e0),
                                     ('src2', 0.25e0)) w(source, wt)),
+                 wts AS (
+              -- normalized share, mirroring sampling.py's w / sum(weights)
+              SELECT source, wt / (SELECT sum(wt) FROM wts0) AS wt FROM wts0),
                  t AS (
               SELECT min(c.n / w.wt) AS t_max FROM c JOIN wts w USING (source)),
                  q AS (
-              SELECT w.source, CAST(t.t_max * w.wt AS INT) AS quota
+              -- floor() == Python int() for positive quotas (trunc toward zero);
+              -- bare CAST(x AS INT) rounds half-to-even in DuckDB and diverges
+              -- whenever t_max*wt lands exactly on x.5 (odd src0 count).
+              SELECT w.source, CAST(floor(t.t_max * w.wt) AS INT) AS quota
               FROM wts w, t),
                  ranked AS (
               SELECT d.doc_id, d.source,

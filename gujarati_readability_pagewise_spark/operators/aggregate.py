@@ -189,7 +189,12 @@ def histogram_quantiles(
     mm = df.agg(
         F.min(col).alias("lo"), F.max(col).alias("hi"), F.count(col).alias("n")
     )
-    bounded = df.select(col).crossJoin(F.broadcast(mm))  # 1-row scalar join
+    # NULLs are excluded from n = count(col); they must be excluded from the
+    # buckets too, or the NULL bucket (which Spark sorts FIRST ascending and
+    # DuckDB sorts LAST) inflates every cumulative count and shifts quantiles.
+    bounded = (
+        df.select(col).filter(F.col(col).isNotNull()).crossJoin(F.broadcast(mm))
+    )  # 1-row scalar join
     bkt = F.least(
         F.floor(
             (F.col(col) - F.col("lo"))

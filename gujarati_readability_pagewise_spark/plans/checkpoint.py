@@ -30,7 +30,7 @@ __all__ = ["bucket_expr", "completed_buckets", "run_checkpointed", "read_manifes
 
 MANIFEST_SCHEMA = (
     "bucket int, n_rows bigint, n_text_bytes bigint, n_input_bytes bigint, "
-    "wall_sec double, job_id string, finished_at timestamp"
+    "wall_sec double, job_id string, finished_at timestamp, transform_id string"
 )
 
 
@@ -66,6 +66,7 @@ def run_checkpointed(
     buckets_per_job: int = 4,
     job_id: str = "job",
     fail_after: int | None = None,
+    transform_id: str = "",
 ) -> int:
     """Run ``transform`` over pages in bucket groups, checkpointing each.
 
@@ -73,10 +74,30 @@ def run_checkpointed(
     call skips buckets present in the manifest — re-running a partially
     complete job is safe and exactly-once at bucket granularity.
 
+    ``transform_id`` names the transform configuration (e.g. ``scrub=True``)
+    and is stored per manifest row; resuming into a manifest written under a
+    DIFFERENT transform_id fails fast instead of silently producing a mixed
+    corpus where completed buckets carry the old configuration's output.
+    Manifests from before this field (NULL) are treated as ``""``.
+
     ``fail_after`` (tests only) aborts after N groups to simulate a crash.
     """
     spark = pages.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    prior = {
+        r["transform_id"] or ""
+        for r in read_manifest(spark, manifest_dir)
+        .select("transform_id")
+        .distinct()
+        .collect()  # bounded: one row per distinct config ever written
+    }
+    if prior - {transform_id}:
+        raise ValueError(
+            f"manifest at {manifest_dir} was written with transform_id="
+            f"{sorted(prior - {transform_id})!r}; resuming with "
+            f"{transform_id!r} would mix configurations — use a fresh "
+            "out_root/manifest or re-run with the original settings"
+        )
     done = completed_buckets(spark, manifest_dir)
     todo = [b for b in range(n_buckets) if b not in done]
     bucketed = pages.withColumn("bucket", bucket_expr(F.col("url"), n_buckets))
@@ -117,13 +138,14 @@ def run_checkpointed(
                 int(s["n_input_bytes"] or 0),
                 float(wall / max(len(group), 1)),
                 job_id,
+                transform_id,
             )
             for s in stats
         ]
         spark.createDataFrame(
             rows,
             "bucket int, n_rows bigint, n_text_bytes bigint, n_input_bytes bigint, "
-            "wall_sec double, job_id string",
+            "wall_sec double, job_id string, transform_id string",
         ).withColumn("finished_at", F.current_timestamp()).write.mode("append").parquet(
             manifest_dir
         )

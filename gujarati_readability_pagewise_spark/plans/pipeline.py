@@ -70,6 +70,9 @@ def run_pipeline(
         manifest_dir=f"{out_root}/manifest",
         n_buckets=n_buckets,
         job_id=job_id,
+        # recorded per manifest row; a resume with a flipped scrub flag
+        # fails fast instead of silently mixing redacted/raw buckets
+        transform_id=f"scrub={scrub}",
     )
     scored = spark.read.parquet(f"{out_root}/extracted")
 

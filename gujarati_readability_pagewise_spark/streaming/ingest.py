@@ -183,5 +183,9 @@ def scd2_merge_batch(
         .dropDuplicates([key_col, ts_col])
     )
     hist = scd2_history(log, key_col, ts_col, fp_col).withColumn("_bkt", bkt)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    hist.write.mode("overwrite").partitionBy("_bkt").parquet(hist_dir)
+    # per-write option, NOT session conf: mutating the session-wide
+    # partitionOverwriteMode inside a micro-batch would silently change the
+    # semantics of unrelated partitioned overwrites later in the session
+    hist.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("_bkt").parquet(hist_dir)

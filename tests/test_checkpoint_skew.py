@@ -69,6 +69,32 @@ def test_rerun_of_completed_job_is_noop(spark, pages_df, dirs):
     assert run_checkpointed(pages_df, _transform, out, man, n_buckets=4, job_id="t3b") == 0
 
 
+def test_resume_with_changed_transform_id_fails_fast(spark, pages_df, dirs):
+    """A partially-complete run resumed with a DIFFERENT transform config
+    (e.g. the scrub flag flipped) must refuse to continue — silently
+    skipping completed buckets would produce a mixed corpus."""
+    out, man = dirs
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_checkpointed(
+            pages_df, _transform, out, man,
+            n_buckets=8, buckets_per_job=2, job_id="t4a", fail_after=4,
+            transform_id="scrub=False",
+        )
+    with pytest.raises(ValueError, match="transform_id"):
+        run_checkpointed(
+            pages_df, _transform, out, man,
+            n_buckets=8, buckets_per_job=2, job_id="t4b",
+            transform_id="scrub=True",
+        )
+    # same config resumes fine
+    n2 = run_checkpointed(
+        pages_df, _transform, out, man,
+        n_buckets=8, buckets_per_job=2, job_id="t4c",
+        transform_id="scrub=False",
+    )
+    assert n2 == 4
+
+
 def test_transform_kernel_runs_once_per_row(spark, pages_df, dirs):
     """Manifest stats must come from reading the written buckets back,
     never from re-running the transform: the kernel sees each input row
@@ -290,6 +316,25 @@ def test_histogram_quantiles_within_one_bucket_of_exact(spark):
         ).collect()
     }
     assert est == est_rep
+
+
+def test_histogram_quantiles_ignores_nulls(spark):
+    """NULL values are excluded from n = count(col); they must be excluded
+    from the buckets too, or cum_count inflates and quantiles shift."""
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.operators.aggregate import (
+        histogram_quantiles,
+    )
+
+    vals = [float(i) for i in range(1000)]
+    with_nulls = spark.createDataFrame(
+        pd.DataFrame({"v": vals + [None] * 500}), "v double"
+    )
+    without = spark.createDataFrame(pd.DataFrame({"v": vals}), "v double")
+    a = sorted(map(tuple, histogram_quantiles(with_nulls, "v").collect()))
+    b = sorted(map(tuple, histogram_quantiles(without, "v").collect()))
+    assert a == b
 
 
 def test_mixture_sample_hits_target_shares(spark):
