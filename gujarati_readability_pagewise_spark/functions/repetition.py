@@ -21,9 +21,12 @@ Scale notes (10^12 docs):
   exact doc dedup, just at sentence granularity; the winner-selection
   window partitions by hash, never by doc;
 * bigram fluency joins the doc's bigrams against the corpus bigram
-  counts — a self-sizing frequency table; at web scale the high-count
-  head is tiny and a broadcast of the top-K table plus a default
-  handles the long tail (documented; exact join kept here).
+  counts — a pathologically skewed join key at web scale ("of the").
+  The implemented cure is an EXACT split-join: broadcast the top-K
+  count head so every hot gram resolves map-side (the hot key never
+  crosses a shuffle), and shuffle-join only the unskewed tail.  Values
+  are identical to the plain join by construction — no default /
+  approximation is involved.
 """
 
 from __future__ import annotations
@@ -199,6 +202,7 @@ def bigram_fluency(
     text_col: str = "text",
     key_col: str = "doc_id",
     n_partitions: int | None = None,
+    head_k: int | None = 1024,
 ) -> DataFrame:
     """LM-proxy fluency score (the CCNet idea with an oracle-exact stand-in
     for perplexity): score = mean corpus frequency of the doc's word
@@ -206,6 +210,16 @@ def bigram_fluency(
     gibberish and mangled extractions hit rare ones.  Integer corpus
     counts + one float division keep it engine-exact (a log-prob LM would
     differ by libm ulps across engines).
+
+    Skew: the (doc, gram) → corpus-count join key follows a Zipf law — at
+    web scale "of the" alone would funnel a measurable fraction of a
+    10^12-doc gram stream through one reducer.  With ``head_k`` set (the
+    default), the top-K corpus counts are broadcast and the hot grams
+    resolve in the map-side broadcast hash join — the hot key never
+    crosses a shuffle; only the unskewed tail takes the shuffle join.
+    The split is EXACT: both branches read the same corpus counts, and
+    sum/count over the union is order-insensitive integer arithmetic, so
+    the result is value-identical to the plain join (``head_k=None``).
 
     Output: (key, n_bigrams, mean_bigram_count).  ``n_partitions``
     repartitions by key before the explode (see repetition_signals).
@@ -223,10 +237,22 @@ def bigram_fluency(
     g = docs.select(key_col, F.explode(grams).alias("gram")).filter(
         F.length("gram") > 0
     )
+    # corpus counts: the groupBy itself is safe under skew (partial
+    # aggregation combines the hot gram map-side before the shuffle)
     corpus = g.groupBy("gram").agg(F.count("*").alias("corpus_cnt"))
+    if head_k:
+        head = F.broadcast(
+            corpus.orderBy(F.desc("corpus_cnt"), "gram").limit(head_k)
+        )
+        hot = g.join(head, "gram")  # broadcast: hot grams never shuffle
+        tail = g.join(head.select("gram"), "gram", "left_anti").join(
+            corpus, "gram"
+        )  # anti is broadcast too; the remaining shuffle join is unskewed
+        scored = hot.unionByName(tail)
+    else:
+        scored = g.join(corpus, "gram")
     return (
-        g.join(corpus, "gram")
-        .groupBy(key_col)
+        scored.groupBy(key_col)
         .agg(
             F.count("*").alias("n_bigrams"),
             (F.sum("corpus_cnt") / F.count("*").cast("double")).alias(

@@ -62,3 +62,24 @@ def test_bigram_fluency_scores_common_bigrams_higher(docs):
     assert out[2]["mean_bigram_count"] > out[0]["mean_bigram_count"]
     assert 4 not in out  # no bigrams in a 1-token doc
     assert out[1]["n_bigrams"] == 11
+
+
+def test_bigram_fluency_broadcast_head_equals_exact_join(spark):
+    """The skew cure must be invisible in the values: with a planted hot
+    bigram ('of the' in half the corpus), the broadcast-head split-join
+    (head_k) returns exactly the plain shuffle join's rows, and the plan
+    resolves the head via broadcast joins (the hot key never shuffles the
+    full gram stream)."""
+    rows = [
+        (i, "of the " * 20 + f"unique{i} tail{i}") if i % 2 == 0
+        else (i, f"rare{i} gram{i} only{i} here{i}")
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    exact = sorted(map(tuple, bigram_fluency(docs, head_k=None).collect()))
+    split = bigram_fluency(docs, head_k=8)
+    assert sorted(map(tuple, split.collect())) == exact
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    # hot branch: broadcast hash join; tail restriction: broadcast anti
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "LeftAnti" in plan, plan
