@@ -81,13 +81,17 @@ def pagerank_fixedpoint(
         F.count("*").alias("out_deg")
     )
     # Hoist the static join: each edge annotated with its source's
-    # out-degree once, reused by every iteration.  localCheckpoint cuts
-    # its lineage so iterations plan against a materialized table.
-    edges_deg = (
-        edges.join(outdeg, edges[src] == outdeg["node"])
-        .select(F.col(src).alias("from"), F.col(dst).alias("to_"), "out_deg")
-        .localCheckpoint()
+    # out-degree once, reused by every iteration.  Materializing it
+    # (localCheckpoint) is a fixed up-front cost that only amortizes over
+    # longer runs — for short runs (n_iter <= checkpoint_every) the
+    # recomputed join is cheaper than the materialization, and the rank
+    # checkpoints below never fire there either, so the whole plan stays
+    # small without any barrier.
+    edges_deg = edges.join(outdeg, edges[src] == outdeg["node"]).select(
+        F.col(src).alias("from"), F.col(dst).alias("to_"), "out_deg"
     )
+    if checkpoint_every and n_iter > checkpoint_every:
+        edges_deg = edges_deg.localCheckpoint()
     ranks = nodes.select(F.col("node"), F.lit(r0).cast("long").alias("rank_fp"))
     for i in range(n_iter):
         contrib = edges_deg.join(
