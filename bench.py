@@ -222,6 +222,19 @@ def main() -> None:
     qs = entrymod.queries()
     # untimed warm-up: JIT/codegen + scheduler spin-up land here, not on q1
     qs["tpch_q1"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # Heavyweight queries get the same self-adjudication the extraction
+    # levels already have: >=3 trials, median as the headline number, and
+    # min + spread in the artifact — a single noisy trial on this
+    # host-shared VM can read 2-3x, and without the spread the artifact
+    # cannot distinguish a regression from noise.
+    heavy = {
+        "dedup_verified_pairs",
+        "graph_pagerank",
+        "gopher_repetition",
+        "histogram_quantiles",
+        "dedup_sentences",
+    }
+    query_trials: dict[str, dict] = {}
     for name in (
         "tpch_q1",
         "a6_group_stats",
@@ -243,10 +256,21 @@ def main() -> None:
         "dedup_sentences",
         "histogram_quantiles",
     ):
-        t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()  # query isolation (see verify_contract)
+        n_trials = 3 if name in heavy else 1
+        times = []
+        for _ in range(n_trials):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            times.append(time.time() - t0)
+            spark.catalog.clearCache()  # query isolation (see verify_contract)
+        queries[name] = round(_median(times), 3)
+        if n_trials > 1:
+            query_trials[name] = {
+                "trials_sec": [round(t, 3) for t in times],
+                "median": round(_median(times), 3),
+                "min": round(min(times), 3),
+                "spread": round(max(times) / min(times), 2),
+            }
     spark.stop()
 
     total = round(sum(queries.values()), 3)
@@ -257,6 +281,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                # heavyweight queries: median-of-3 headline + min/spread so
+                # the artifact adjudicates its own noise (spread ~2-3x on
+                # this host-shared VM is noise, not regression)
+                "query_trials": query_trials,
                 "sf": sf,
                 "extract": {
                     "pages": r8["pages"],
