@@ -2575,6 +2575,59 @@ def q_tpch_q7(spark, sf):
     )
 
 
+def q_tpch_q21(spark, sf):
+    """Q21 shape (suppliers who kept waiting) — the one join form the
+    suite lacked: TWO correlated subqueries on the SAME fact table, one
+    EXISTS and one NOT EXISTS, both keyed on the outer row's orderkey with
+    a supplier INEQUALITY.  Spark-first translation: the EXISTS becomes a
+    LEFT SEMI join and the NOT EXISTS a LEFT ANTI join, both shuffling on
+    l_orderkey (unskewed; ≤7 lines per order), so neither subquery is
+    ever re-executed per outer row the way a nested-loop correlated plan
+    would.  The testdata has no receipt/commit dates, so "late" is
+    l_shipdate > o_orderdate + 60 days (same derivation on both engines,
+    pure date arithmetic).  Dimension sides (supplier⋈nation) broadcast.
+    """
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation").filter(
+        F.col("n_name").isin([f"NATION_{i}" for i in range(5)])
+    )
+    # l1: late lineitems of finished orders (the outer query block)
+    late = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+    l1 = late.select("l_orderkey", "l_suppkey")
+    # EXISTS other-supplier line in the same order -> left SEMI
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l1 = l1.join(
+        l2,
+        (l1["l_orderkey"] == l2["o2"]) & (l1["l_suppkey"] != l2["s2"]),
+        "left_semi",
+    )
+    # NOT EXISTS other-supplier LATE line in the same order -> left ANTI
+    # (l3 shares l1's order, so its lateness uses the same o_orderdate)
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    l1 = l1.join(
+        l3,
+        (l1["l_orderkey"] == l3["o3"]) & (l1["l_suppkey"] != l3["s3"]),
+        "left_anti",
+    )
+    return (
+        l1.join(F.broadcast(sup), l1["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
 def q_mixture_sample(spark, sf):
     """Deterministic domain-mixture resampling (DoReMi/Pile-style target
     mixture): keep the largest sample whose source shares equal the target
@@ -2794,6 +2847,47 @@ def _dedup_survivors_oracle() -> str:
     """
 
 
+def _pii_fixpoint_oracle() -> str:
+    """DuckDB oracle for pii_scrub_fixpoint: re-derives the planting and
+    runs the full email→ipv6→ipv4→phone replacement chain TWICE (the
+    patterns are dialect-identical by construction; see functions/scrub).
+    """
+    from gujarati_readability_pagewise_spark.functions.scrub import (
+        EMAIL_RE,
+        IPV4_RE,
+        IPV6_RE,
+        PHONE_RE,
+    )
+
+    def chain(col: str) -> str:
+        return (
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            f"{col}, '{EMAIL_RE}', '<EMAIL>', 'g'), "
+            f"'{IPV6_RE}', '\\1<IPV6>\\3', 'g'), "
+            f"'{IPV4_RE}', '\\1<IP>\\4', 'g'), "
+            f"'{PHONE_RE}', '<PHONE>', 'g')"
+        )
+
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 text || ' ips 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.1,10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.2 via fe80::' || CAST(doc_id % 9999 AS VARCHAR)
+                      || ' end' AS text
+          FROM documents),
+             p1 AS (SELECT doc_id, {chain("text")} AS text FROM planted),
+             p2 AS (SELECT doc_id, {chain("text")} AS text FROM p1)
+        SELECT p1.doc_id,
+               CAST(len(regexp_extract_all(p1.text, '{IPV4_RE}')) AS INT)
+                 AS residual_ips_pass1,
+               CAST(len(regexp_extract_all(p2.text, '{IPV4_RE}')) AS INT)
+                 AS residual_ips_fixpoint,
+               md5(p2.text) AS scrubbed_md5
+        FROM p1 JOIN p2 USING (doc_id)
+    """
+
+
 def q_pii_scrub(spark, sf):
     """PII scrubbing (the email/IPv4/phone redaction tier every public
     corpus pipeline runs before training): deterministic PII is planted
@@ -2832,6 +2926,44 @@ def q_pii_scrub(spark, sf):
         ).alias("text"),
     )
     return scrub_documents(planted)
+
+
+def q_pii_scrub_fixpoint(spark, sf):
+    """PII scrub HARDENING case: two IPv4s separated by a single delimiter
+    (the boundary class consumes the comma, so one pass leaves the second
+    address unredacted — identically in both engines) plus an IPv6.  The
+    query emits pass-1 residual counts (proving the gap is real) and the
+    fixpoint digest (proving scrub_pii(fixpoint=True, ipv6=True) closes
+    it); the oracle re-derives the planting and BOTH passes of the full
+    replacement chain."""
+    from gujarati_readability_pagewise_spark.functions.scrub import (
+        IPV4_RE,
+        scrub_pii,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" ips 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".1,10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".2 via fe80::"),
+            F.pmod(F.col("doc_id"), F.lit(9999)).cast("string"),
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    t = F.col("text")
+    once = scrub_pii(t, fixpoint=False, ipv6=True)
+    fix = scrub_pii(t, fixpoint=True, ipv6=True)
+    return planted.select(
+        "doc_id",
+        F.regexp_count(once, F.lit(IPV4_RE)).alias("residual_ips_pass1"),
+        F.regexp_count(fix, F.lit(IPV4_RE)).alias("residual_ips_fixpoint"),
+        F.md5(fix).alias("scrubbed_md5"),
+    )
 
 
 def q_tpch_q13(spark, sf):
@@ -2922,6 +3054,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
+        # -- new in round 4 --
+        "tpch_q21": q_tpch_q21,
+        "pii_scrub_fixpoint": q_pii_scrub_fixpoint,
         # -- LLM-pipeline core (driver-witnessed r3) --
         "pipeline_extract": q_pipeline_extract,
         "pipeline_features": q_pipeline_features,
@@ -3278,6 +3413,28 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 10 AND 30)
                OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 1 AND 30
                    AND l.l_quantity BETWEEN 20 AND 40)
+        """,
+        "pii_scrub_fixpoint": _pii_fixpoint_oracle(),
+        "tpch_q21": """
+            SELECT s.s_name, count(*) AS numwait
+            FROM supplier s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+              AND n.n_name IN ('NATION_0', 'NATION_1', 'NATION_2',
+                               'NATION_3', 'NATION_4')
+            JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+            JOIN orders o ON o.o_orderkey = l1.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+              AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate > o.o_orderdate
+                                    + INTERVAL 60 DAY)
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name
         """,
         "mixture_sample": """
             WITH c AS (

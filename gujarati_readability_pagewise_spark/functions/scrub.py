@@ -32,28 +32,60 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["EMAIL_RE", "IPV4_RE", "PHONE_RE", "scrub_pii", "pii_counts"]
+__all__ = [
+    "EMAIL_RE",
+    "IPV4_RE",
+    "IPV6_RE",
+    "PHONE_RE",
+    "scrub_pii",
+    "pii_counts",
+]
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"(^|[^\p{L}0-9_.])((\d{1,3}\.){3}\d{1,3})([^\p{L}0-9_.]|$)"
 PHONE_RE = r"\+?\d[\d -]{7,}\d"
+# IPv6, same dialect constraints (no \b, no lookaround, only non-capturing
+# inner groups so the boundary backrefs stay $1/$3): full 8-group form,
+# '::'-compressed with a leading group, and leading-'::' forms.  The
+# boundary classes exclude hex chars, ':' and '.', so partial matches
+# can't split an address; an IPv4-mapped tail ('::ffff:1.2.3.4') is left
+# for the IPv4 rule that runs next in the chain.
+IPV6_RE = (
+    r"(^|[^A-Za-z0-9:.])"
+    r"((?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+    r"|(?:[0-9A-Fa-f]{1,4}:)+:(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4})*)?"
+    r"|::(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4})*))"
+    r"([^A-Za-z0-9:.]|$)"
+)
 
 EMAIL_TOKEN = "<EMAIL>"
 IP_TOKEN = "<IP>"
+IPV6_TOKEN = "<IPV6>"
 PHONE_TOKEN = "<PHONE>"
 
 
-def scrub_pii(text: Column) -> Column:
-    """Redact emails, IPv4s, and phone-like digit runs (in that order)."""
-    return F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(text, EMAIL_RE, EMAIL_TOKEN),
-            IPV4_RE,
-            "$1" + IP_TOKEN + "$4",
-        ),
+def scrub_pii(text: Column, fixpoint: bool = False, ipv6: bool = False) -> Column:
+    """Redact emails, (optionally IPv6s,) IPv4s, and phone-like digit runs
+    in that fixed order.
+
+    ``fixpoint=True`` runs the chain a second time: the IP boundary
+    classes CONSUME their delimiter, so two addresses separated by a
+    single delimiter ("10.0.0.1,10.0.0.2") leave the second unredacted
+    after one pass — identically in both engines; the second pass closes
+    the gap (token boundaries are word chars, so a third pass is a
+    no-op on the tokens themselves).
+    """
+    out = F.regexp_replace(text, EMAIL_RE, EMAIL_TOKEN)
+    if ipv6:
+        out = F.regexp_replace(out, IPV6_RE, "$1" + IPV6_TOKEN + "$3")
+    out = F.regexp_replace(
+        F.regexp_replace(out, IPV4_RE, "$1" + IP_TOKEN + "$4"),
         PHONE_RE,
         PHONE_TOKEN,
     )
+    if fixpoint:
+        return scrub_pii(out, fixpoint=False, ipv6=ipv6)
+    return out
 
 
 def pii_counts(text: Column) -> list[Column]:
