@@ -19,7 +19,6 @@ from .dedup import stable_hash64
 
 __all__ = [
     "heavy_hitters",
-    "heavy_hitters_approx",
     "heavy_hitters_hash_sampled",
     "salted_summary",
 ]
@@ -36,41 +35,6 @@ def heavy_hitters(df: DataFrame, key: str, min_share: float = 0.1) -> DataFrame:
     )
 
 
-def heavy_hitters_approx(
-    df: DataFrame,
-    key: str,
-    min_share: float = 0.1,
-    sample_fraction: float = 0.02,
-    seed: int = 42,
-    safety: float = 0.5,
-) -> DataFrame:
-    """Sampled heavy-hitter detection — the pre-pass you can afford at
-    10^12 rows.
-
-    ``heavy_hitters`` is exact but scans the table twice; here a seeded
-    Bernoulli sample (one partial scan, no shuffle of the full table)
-    estimates shares.  Keys are kept at ``min_share * safety`` — the
-    slack absorbs sampling error so a true heavy hitter at the threshold
-    is kept with overwhelming probability (a 10% key sampled at 2% of a
-    10^9-row table is ~200k draws; share estimates concentrate within
-    ±0.2%).  Output is a CANDIDATE set for the salting/AQE machinery:
-    false positives only cost a useless salt column, false negatives cost
-    a skewed reducer — hence the one-sided safety margin.
-    """
-    s = df.select(key).sample(fraction=sample_fraction, seed=seed)
-    n = s.count()
-    if n == 0:
-        return s.groupBy(key).agg(F.count("*").alias("n_sampled")).withColumn(
-            "share_est", F.col("n_sampled").cast("double")
-        )
-    return (
-        s.groupBy(key)
-        .agg(F.count("*").alias("n_sampled"))
-        .withColumn("share_est", F.col("n_sampled") / F.lit(float(n)))
-        .filter(F.col("share_est") >= min_share * safety)
-    )
-
-
 def heavy_hitters_hash_sampled(
     df: DataFrame,
     key: str,
@@ -80,22 +44,24 @@ def heavy_hitters_hash_sampled(
     seed: int = 7,
     safety: float = 0.5,
 ) -> DataFrame:
-    """Sampled heavy-hitter detection with a CONTENT-deterministic sample.
+    """THE sampled heavy-hitter pre-pass — the detection you can afford at
+    10^12 rows (``heavy_hitters`` is exact but scans the table twice).
 
-    Same cost shape as ``heavy_hitters_approx`` (one partial scan, shuffle
-    only the sampled keys) but the 1/``mod`` sample is selected by
-    ``stable_hash64(sample_on, seed) % mod == 0`` instead of ``rand()`` —
-    so task retries, repartitioning, and re-runs all see the SAME sample
-    (Bernoulli ``sample()`` is partition-order dependent), and the whole
-    detection is expressible in plain SQL for cross-engine verification.
-    At 10^12 rows this determinism is what makes the skew pre-pass safe to
-    resume from a checkpoint: a retried stage cannot flip which keys got
-    salted.
+    One partial scan, shuffle only the sampled keys; the 1/``mod`` sample
+    is selected by ``stable_hash64(sample_on, seed) % mod == 0``, NOT by
+    ``rand()``/``sample()`` — Bernoulli ``sample()`` is partition-order
+    dependent, so task retries, repartitioning, and re-runs could flip
+    which keys got salted mid-resume (an earlier ``rand()``-sampled form
+    was removed for exactly that reason); the hash-selected sample is
+    content-deterministic and expressible in plain SQL for cross-engine
+    verification.
 
     ``sample_on`` must be a (near-)unique row identifier column (cast to
     string internally); keys are kept at ``min_share * safety`` — the
-    one-sided slack absorbs sampling error exactly as in
-    ``heavy_hitters_approx``.  Output: (key, n_sampled, share_est).
+    one-sided slack absorbs sampling error (a true heavy hitter at the
+    threshold survives with overwhelming probability; false positives
+    only cost a useless salt column, false negatives cost a skewed
+    reducer).  Output: (key, n_sampled, share_est).
     """
     sampled = df.filter(
         F.pmod(stable_hash64(F.col(sample_on).cast("string"), seed=seed), F.lit(mod))

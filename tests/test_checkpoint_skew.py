@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from gujarati_readability_pagewise_spark.operators.skew import (
     heavy_hitters,
-    heavy_hitters_approx,
+    heavy_hitters_hash_sampled,
     salted_summary,
 )
 from gujarati_readability_pagewise_spark.operators.udfs import with_extraction
@@ -137,17 +137,17 @@ def test_heavy_hitter_detected(spark, pages_df):
     assert (hh.share > 0.25).any()
 
 
-def test_heavy_hitter_approx_finds_planted_host(spark, pages_df):
-    """The sampled pre-pass must surface the planted 32% host (one-sided
-    safety margin: false negatives are the expensive failure) and its
-    share estimate must be in the right ballpark; results are seeded-
-    deterministic."""
+def test_heavy_hitter_hash_sampled_finds_planted_host(spark, pages_df):
+    """The canonical sampled pre-pass (content-deterministic hash sample;
+    the rand()-sampled form was removed as not resume-safe) must surface
+    the planted 32% host with a ballpark share estimate, identically
+    across reruns."""
     df = pages_df.withColumn("host", F.parse_url("url", F.lit("HOST")))
-    hh = heavy_hitters_approx(df, "host", min_share=0.1, sample_fraction=0.2)
+    hh = heavy_hitters_hash_sampled(df, "host", "url", min_share=0.1, mod=5)
     got = hh.toPandas().set_index("host")["share_est"]
     assert "big.example.gu" in got.index
     assert 0.2 < got["big.example.gu"] < 0.45
-    again = heavy_hitters_approx(df, "host", min_share=0.1, sample_fraction=0.2)
+    again = heavy_hitters_hash_sampled(df, "host", "url", min_share=0.1, mod=5)
     assert got.equals(again.toPandas().set_index("host")["share_est"])
 
 
