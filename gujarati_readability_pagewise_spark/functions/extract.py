@@ -49,24 +49,43 @@ STATUS_ERROR = "error"
 # Tags whose entire content is never text (script/style/noscript/template/svg).
 # Kept as TWO passes: fusing them into one alternation with the backreference
 # measured ~15% slower (the backreference disables re's literal-prefilter).
+# `[^>]*+>` / `\s*+>` are possessive: their match is unique (only '>' ends
+# them), so cutting the backtracking bookkeeping cannot change any match.
 _RE_DROP_CONTENT = re.compile(
-    r"<(script|style|noscript|template|svg|head)\b[^>]*>.*?</\1\s*>",
+    r"<(script|style|noscript|template|svg|head)\b[^>]*+>.*?</\1\s*+>",
     re.IGNORECASE | re.DOTALL,
 )
 _RE_COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
 
-# Block-level boundaries: these tags split the page into candidate text blocks.
+# Block-level boundaries: these tags split the page into candidate text
+# blocks.  The alternation is FACTORED by leading character inside an atomic
+# group: sre tries branches left-to-right at every '<', so a flat 35-way
+# alternation pays ~35 first-char comparisons per non-block tag, while the
+# factored trie fails after one.  Atomicity is output-neutral here: every
+# branch ends on a word char and is followed by `\b`, so if the longest
+# branch's `\b` fails, any shorter branch ends one word char earlier —
+# still followed by a word char — and its `\b` fails too; there is no
+# input on which backtracking into the alternation could recover a match
+# (pinned by a test comparing against the flat pattern).  Measured ~45%
+# faster than the flat form on the bench corpus.
+_BLOCK_ALT = (
+    r"(?>a(?:side|rticle)|b(?:r|lockquote|ody)|d(?:iv|l|t|d)"
+    r"|f(?:orm|ooter|i(?:gure|gcaption|eldset))|h(?:[1-6r]|tml|eader)"
+    r"|li|main|nav|ol|p(?:re)?|section|t(?:able|[rdh]|itle)|ul)"
+)
+# flat reference form, kept for the equivalence test
 _BLOCK_TAGS = (
     "p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|table|tr|td|th|br|hr|section|article|"
     "aside|nav|footer|header|main|blockquote|pre|figure|figcaption|form|"
     "fieldset|dl|dt|dd|title|body|html"
 )
-_RE_BLOCK_SPLIT = re.compile(r"</?(?:%s)\b[^>]*>" % _BLOCK_TAGS, re.IGNORECASE)
+_RE_BLOCK_SPLIT = re.compile(r"</?%s\b[^>]*+>" % _BLOCK_ALT, re.IGNORECASE)
 _RE_BLOCK_SPLIT_CS = re.compile(_RE_BLOCK_SPLIT.pattern)
+_RE_BLOCK_SPLIT_FLAT = re.compile(r"</?(?:%s)\b[^>]*>" % _BLOCK_TAGS, re.IGNORECASE)
 
 # Anchor spans (to measure link density) — non-greedy, no nesting support
 # needed: nested <a> is invalid HTML and the crawl templates never emit it.
-_RE_ANCHOR = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
+_RE_ANCHOR = re.compile(r"<a\b[^>]*+>(.*?)</a\s*+>", re.IGNORECASE | re.DOTALL)
 
 # Case-sensitive twins of the tag regexes, used when the whole document is
 # already lowercase (`str.islower()` — the overwhelmingly common crawl case):
@@ -224,7 +243,15 @@ def extract_text(html: bytes | None) -> ExtractResult:
         s = html.decode("utf-8", errors="replace")
         status = STATUS_ERROR
     s = unicodedata.normalize("NFC", s)
-    blocks = _segment(s, s.islower())
+    # ASCII-only case gate, checked on the BYTES (bytes.islower is an
+    # ASCII C loop, ~5x cheaper than str.islower's Unicode scan): tag
+    # names are case-insensitive over ASCII ONLY, so the case-sensitive
+    # twins are correct whenever the document has no ASCII uppercase —
+    # non-ASCII cased chars (which str.islower would flag) must NOT force
+    # the IGNORECASE path, whose Unicode folding would wrongly match e.g.
+    # LATIN SMALL LONG S in a tag name.  NFC cannot introduce ASCII
+    # uppercase, so the byte-level check is valid for the NFC'd string.
+    blocks = _segment(s, html.islower())
     keep = _classify(blocks)
     spans = [b[0] for b, k in zip(blocks, keep) if k]
     if not spans:

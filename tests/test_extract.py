@@ -120,3 +120,33 @@ def test_deterministic_bytes():
     a = extract_text(html).text.encode()
     for _ in range(5):
         assert extract_text(html).text.encode() == a
+
+
+def test_factored_block_split_equals_flat_alternation():
+    """The factored/atomic block-split pattern must split identically to
+    the flat 35-way alternation on adversarial tag soup (atomicity is
+    output-neutral: every branch ends on a word char before \\b)."""
+    import random
+    import re as _re
+
+    from gujarati_readability_pagewise_spark.functions import extract as E
+
+    flat = E._RE_BLOCK_SPLIT_FLAT
+    fact = E._RE_BLOCK_SPLIT
+    flat_cs = _re.compile(flat.pattern)
+    fact_cs = E._RE_BLOCK_SPLIT_CS
+    tags = E._BLOCK_TAGS.split("|") + ["span", "a", "em", "dtx", "prex", "hx", "h7"]
+    rng = random.Random(7)
+    cases = []
+    for _ in range(400):
+        parts = []
+        for _ in range(rng.randint(0, 12)):
+            t = rng.choice(tags)
+            t = t.upper() if rng.random() < 0.3 else t
+            form = rng.choice(["<{}>", "</{}>", "<{} x=1>", "<{}", "{}>", "< {}>"])
+            parts.append(form.format(t))
+            parts.append(rng.choice(["text", "ગુજરાતી", " ", "", "<", ">"]))
+        cases.append("".join(parts))
+    for c in cases:
+        assert flat.split(c) == fact.split(c), c
+        assert flat_cs.split(c) == fact_cs.split(c), c
