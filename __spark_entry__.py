@@ -2628,6 +2628,157 @@ def q_tpch_q21(spark, sf):
     )
 
 
+def q_tpch_q8(spark, sf):
+    """Q8 shape (national market share): the widest dimension fan of the
+    suite — lineitem at the center, SIX dimension joins (orders, part,
+    customer, nation×2 via two aliases, region, supplier), then the
+    conditional-share aggregate sum(case)/sum per year.  All true
+    dimensions broadcast; the only shuffles are the fact⋈orders and
+    fact⋈customer equi-joins.  Fixed-point cent volumes; the share is one
+    long/long float division (bit-identical across engines)."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    part = load_table(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    cust = load_table(spark, sf, "customer")
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    cn = nat.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol_fp = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    flows = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"))
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cn), cust["c_nationkey"] == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region["r_regionkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(sn), sup["s_nationkey"] == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol_fp.alias("vol_fp"),
+            "supp_nation",
+        )
+    )
+    nation_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("vol_fp")).otherwise(0)
+    ).alias("nation_vol_fp")
+    return (
+        flows.groupBy("o_year")
+        .agg(nation_vol, F.sum("vol_fp").alias("total_vol_fp"))
+        .select(
+            "o_year",
+            "nation_vol_fp",
+            "total_vol_fp",
+            (F.col("nation_vol_fp") / F.col("total_vol_fp")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q9(spark, sf):
+    """Q9 shape (product-type profit by nation×year).  The testdata has no
+    partsupp table, so supply cost is the deterministic proxy
+    floor(p_retailprice·10) cents per unit (same derivation both engines)
+    — the SHAPE is Q9's: name-LIKE part filter, lineitem⋈part⋈supplier⋈
+    nation⋈orders, profit = revenue − cost in exact cents, grouped by
+    (nation, year) with the classic desc-year ordering."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    orders = load_table(spark, sf, "orders")
+    profit_fp = (
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+        - F.floor(F.col("p_retailprice") * 10).cast("long")
+        * F.col("l_quantity").cast("long")
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit_fp).alias("profit_fp"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_tpch_q11(spark, sf):
+    """Q11 shape (value concentration): GROUP BY + HAVING against a SCALAR
+    subquery over the same aggregate — parts whose inventory value exceeds
+    1/1300 of the global total.  Spark-first: the global total is a 1-row
+    broadcast crossJoin (no partsupp in the testdata; value is derived
+    from lineitem cents×quantity, same both engines)."""
+    li = load_table(spark, sf, "lineitem")
+    v = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100).cast("long")
+            * F.col("l_quantity").cast("long")
+        ).alias("value_fp")
+    )
+    # integer `div`, not float `/` + cast: the double quotient of a ~2^44
+    # sum can round across the integer boundary the oracle's exact `//`
+    # never crosses
+    total = v.agg(F.expr("sum(value_fp) div 1300").alias("_thr"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value_fp") > F.col("_thr"))
+        .select("l_partkey", "value_fp")
+        .orderBy(F.desc("value_fp"), "l_partkey")
+    )
+
+
+def q_tpch_q20(spark, sf):
+    """Q20 shape (part-promotion suppliers): the nested-subquery semi
+    chain — suppliers having SOME selected part ('small%' names, 1995-96
+    shipments) they shipped at more than TWICE the part's per-supplier
+    average.  No partsupp table, so availability is the supplier's own
+    shipped quantity; the correlated-aggregate comparison (nsupp·qty >
+    2·total) stays in exact integers.  Spark-first: per-(supp, part)
+    quantities once, per-part totals joined back, then one LEFT SEMI into
+    supplier — no correlated re-execution."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(F.col("p_name").like("small%"))
+    sup = load_table(spark, sf, "supplier")
+    sp = (
+        li.join(F.broadcast(part.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"))
+        .filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    avg_part = sp.groupBy("l_partkey").agg(
+        F.sum("qty").alias("tot"), F.count("*").alias("nsupp")
+    )
+    keep = (
+        sp.join(avg_part, "l_partkey")
+        .filter(F.col("nsupp") * F.col("qty") > 2 * F.col("tot"))
+        .select("l_suppkey")
+    )
+    return (
+        sup.join(keep, sup["s_suppkey"] == keep["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def q_mixture_sample(spark, sf):
     """Deterministic domain-mixture resampling (DoReMi/Pile-style target
     mixture): keep the largest sample whose source shares equal the target
@@ -3057,6 +3208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 --
         "tpch_q21": q_tpch_q21,
         "pii_scrub_fixpoint": q_pii_scrub_fixpoint,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
         # -- LLM-pipeline core (driver-witnessed r3) --
         "pipeline_extract": q_pipeline_extract,
         "pipeline_features": q_pipeline_features,
@@ -3415,6 +3570,83 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 20 AND 40)
         """,
         "pii_scrub_fixpoint": _pii_fixpoint_oracle(),
+        "tpch_q8": """
+            WITH flows AS (
+              SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+                     CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                          AS BIGINT) AS vol_fp,
+                     sn.n_name AS supp_nation
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+              JOIN region r ON r.r_regionkey = cn.n_regionkey
+                           AND r.r_name = 'ASIA'
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+              WHERE o.o_orderdate BETWEEN DATE '1995-01-01'
+                                      AND DATE '1996-12-31')
+            SELECT CAST(o_year AS INT) AS o_year,
+                   CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                                 THEN vol_fp ELSE 0 END) AS BIGINT)
+                     AS nation_vol_fp,
+                   CAST(sum(vol_fp) AS BIGINT) AS total_vol_fp,
+                   CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                                 THEN vol_fp ELSE 0 END) AS BIGINT)
+                     / CAST(CAST(sum(vol_fp) AS BIGINT) AS DOUBLE)
+                     AS mkt_share
+            FROM flows GROUP BY o_year ORDER BY o_year
+        """,
+        "tpch_q9": """
+            SELECT n.n_name AS nation,
+                   CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+                   CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                              * 100) AS BIGINT)
+                        - CAST(floor(p.p_retailprice * 10) AS BIGINT)
+                          * CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                     AS profit_fp
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+                       AND p.p_name LIKE '%red%'
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2 ORDER BY nation, o_year DESC
+        """,
+        "tpch_q11": """
+            WITH v AS (
+              SELECT l_partkey,
+                     CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_fp
+              FROM lineitem GROUP BY l_partkey)
+            SELECT l_partkey, value_fp FROM v
+            WHERE value_fp > (SELECT CAST(sum(value_fp) // 1300 AS BIGINT)
+                              FROM v)
+            ORDER BY value_fp DESC, l_partkey
+        """,
+        "tpch_q20": """
+            WITH sel AS (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+                 sp AS (
+              SELECT l_suppkey, l_partkey,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+              FROM lineitem JOIN sel ON sel.p_partkey = l_partkey
+              WHERE l_shipdate >= DATE '1995-01-01'
+                AND l_shipdate <  DATE '1997-01-01'
+              GROUP BY 1, 2),
+                 avg_part AS (
+              SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS tot,
+                     count(*) AS nsupp
+              FROM sp GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name
+            FROM supplier s
+            WHERE EXISTS (
+              SELECT 1 FROM sp JOIN avg_part a USING (l_partkey)
+              WHERE sp.l_suppkey = s.s_suppkey
+                AND a.nsupp * sp.qty > 2 * a.tot)
+            ORDER BY s.s_suppkey
+        """,
         "tpch_q21": """
             SELECT s.s_name, count(*) AS numwait
             FROM supplier s
