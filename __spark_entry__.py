@@ -2628,6 +2628,36 @@ def q_tpch_q21(spark, sf):
     )
 
 
+def q_dedup_exact_substr(spark, sf):
+    """ExactSubstr dedup (Lee et al. 2021) — exact duplicate SUBSTRING
+    spans across the corpus, the dedup tier the MinHash family cannot
+    express (it scores whole documents; this finds the copied paragraph
+    INSIDE otherwise-distinct documents).  operators/dedup.duplicate_spans
+    indexes every 40-char sliding window by hash, keeps the global first
+    occurrence per hash, and merges each doc's other occurrences into
+    maximal spans.  Emits the per-doc audit (n_spans, dup_chars,
+    n_dup_windows, 0 for clean docs); the oracle re-derives windows,
+    first-occurrence rule, and island merge in SQL."""
+    from gujarati_readability_pagewise_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    par = spark.sparkContext.defaultParallelism
+    spans = duplicate_spans(docs, window=40, n_partitions=par)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_chars"),
+        F.sum("n_windows").alias("n_dup_windows"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+    )
+
+
 def q_tpch_q8(spark, sf):
     """Q8 shape (national market share): the widest dimension fan of the
     suite — lineitem at the center, SIX dimension joins (orders, part,
@@ -3212,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
         "tpch_q20": q_tpch_q20,
+        "dedup_exact_substr": q_dedup_exact_substr,
         # -- LLM-pipeline core (driver-witnessed r3) --
         "pipeline_extract": q_pipeline_extract,
         "pipeline_features": q_pipeline_features,
@@ -3570,6 +3601,45 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 20 AND 40)
         """,
         "pii_scrub_fixpoint": _pii_fixpoint_oracle(),
+        "dedup_exact_substr": """
+            WITH wins AS (
+              SELECT doc_id, i AS pos, md5(substr(text, i, 40)) AS h
+              FROM documents,
+                   unnest(range(1, greatest(length(text) - 39, 0) + 1)) t(i)),
+                 marked AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY h
+                                        ORDER BY doc_id, pos) AS rn
+              FROM wins),
+                 dups AS (SELECT doc_id, pos FROM marked WHERE rn > 1),
+                 brk AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                    ORDER BY pos) > 40
+                          THEN 1 ELSE 0 END AS b
+              FROM dups),
+                 grp AS (
+              SELECT doc_id, pos,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+              FROM brk),
+                 spans AS (
+              SELECT doc_id, g, min(pos) AS span_start,
+                     max(pos) + 39 AS span_end, count(*) AS n_windows
+              FROM grp GROUP BY doc_id, g),
+                 per_doc AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_spans,
+                     CAST(sum(span_end - span_start + 1) AS BIGINT)
+                       AS dup_chars,
+                     CAST(sum(n_windows) AS BIGINT) AS n_dup_windows
+              FROM spans GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.n_spans, 0) AS n_spans,
+                   coalesce(p.dup_chars, 0) AS dup_chars,
+                   coalesce(p.n_dup_windows, 0) AS n_dup_windows
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
         "tpch_q8": """
             WITH flows AS (
               SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,

@@ -40,6 +40,7 @@ __all__ = [
     "simhash_bands",
     "simhash_candidates",
     "simhash_near_pairs",
+    "duplicate_spans",
     "release_persisted",
 ]
 
@@ -545,3 +546,91 @@ def simhash_near_pairs(
         cands.select("a", "b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    window: int = 40,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Exact duplicate SUBSTRING spans across the corpus — the
+    suffix-array "ExactSubstr" dedup of Lee et al. 2021 (Deduplicating
+    Training Data Makes Language Models Better), re-expressed for Spark's
+    execution model.
+
+    A monolithic suffix array does not distribute; the shuffle-native
+    equivalent indexes every ``window``-char substring by hash:
+
+    1. explode each doc into its |text|−window+1 sliding windows
+       (repartitioned by key first so a single input file cannot
+       serialize the fan-out);
+    2. per window-hash, the GLOBAL first occurrence (min (key, pos)
+       struct — one hash-shuffle with map-side partial min) survives;
+       every other occurrence is a duplicate window — exactly the
+       "keep one copy of every duplicated substring" rule;
+    3. per doc, overlapping/adjacent duplicate windows (gap ≤ window)
+       merge into maximal spans via the lag/cumsum island pattern —
+       the per-doc window is bounded by doc length, never corpus size.
+
+    Any duplicated substring of length ≥ 2·window−1 is guaranteed to
+    contain a fully-duplicated aligned window, so spans of that length
+    are always detected; shorter overlaps detect down to ``window``
+    chars.  Emits one row per maximal span: (key, span_start, span_end,
+    n_windows), 1-based inclusive char positions.  Cutting the spans out
+    of the text is a trivial downstream map; the span inventory is the
+    operator's contract (it feeds both cutting and audit).
+
+    Scale shape (10^12 docs): the window explode is the same volume as
+    the shingle explode the MinHash family already runs; the only wide
+    exchange is the window-hash shuffle (combinable min/count), and hot
+    boilerplate strings cannot skew a reducer beyond one row per hash
+    after the partial aggregation.
+    """
+    d = docs.select(key_col, text_col)
+    if n_partitions:
+        d = d.repartition(n_partitions, key_col)
+    seq = F.when(
+        F.length(text_col) >= window,
+        F.sequence(F.lit(1), F.length(text_col) - window + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = d.select(
+        key_col, F.col(text_col), F.explode(seq).alias("pos")
+    ).select(
+        key_col,
+        "pos",
+        F.md5(F.col(text_col).substr(F.col("pos"), F.lit(window))).alias("h"),
+    )
+    firsts = wins.groupBy("h").agg(
+        F.min(F.struct(key_col, "pos")).alias("first"),
+        F.count("*").alias("cnt"),
+    )
+    dups = (
+        wins.join(firsts.filter(F.col("cnt") >= 2).select("h", "first"), "h")
+        .filter(
+            ~(
+                (F.col(key_col) == F.col(f"first.{key_col}"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select(key_col, "pos")
+    )
+    byd = W.partitionBy(key_col).orderBy("pos")
+    grp = (
+        dups.withColumn(
+            "brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(byd) > window, 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "g",
+            F.sum("brk").over(byd.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    return grp.groupBy(key_col, "g").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + window - 1).alias("span_end"),
+        F.count("*").alias("n_windows"),
+    ).drop("g")

@@ -446,3 +446,44 @@ def test_jaccard_verify_forms_identical(spark, docs):
     a = sorted(map(tuple, jaccard_on_candidates(sh, cands).collect()))
     b = sorted(map(tuple, jaccard_on_candidates_arrays(sh, cands).collect()))
     assert a == b and len(a) > 0
+
+
+def test_duplicate_spans_finds_planted_copied_paragraph(spark):
+    """ExactSubstr spans: a 60-char paragraph copied into two otherwise
+    distinct docs is found in the LATER doc only (global first occurrence
+    survives); clean docs and sub-window docs emit nothing; spans merge
+    overlapping windows into one maximal span; results are
+    partitioning-independent."""
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    para = "the exact same sixty character paragraph appears twice here!"
+    assert len(para) == 60
+    # distinct chars flank the copy on both sides so the maximal shared
+    # region is exactly `para` (a shared space would extend the span)
+    rows = [
+        (0, "unique preamble zero:" + para + "Xunique tail zero."),
+        (1, "totally different intro one;" + para + "Yand a different end."),
+        (2, "clean document with no repeated content at all, long enough."),
+        (3, "tiny"),  # shorter than the window: must not crash or emit
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    spans = duplicate_spans(docs, window=40).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 0 not in by_doc  # first occurrence survives
+    assert 2 not in by_doc and 3 not in by_doc
+    assert len(by_doc[1]) == 1  # overlapping windows merged to ONE span
+    s = by_doc[1][0]
+    start = rows[1][1].index(para) + 1  # 1-based
+    assert s["span_start"] == start
+    assert s["span_end"] == start + len(para) - 1
+    # partitioning-independent
+    again = sorted(
+        map(tuple, duplicate_spans(docs.repartition(7), window=40).collect())
+    )
+    assert sorted(map(tuple, spans)) == again
