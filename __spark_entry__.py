@@ -2628,6 +2628,47 @@ def q_tpch_q21(spark, sf):
     )
 
 
+def q_sequence_packing(spark, sf):
+    """Cross-document sequence PACKING (GPT-style concat-and-chunk): where
+    each doc's token span lands when the key-ordered corpus is sliced
+    into 512-token training sequences — the cross-doc complement of
+    sequence_chunks.  operators/packing.pack_sequences computes the
+    corpus-wide ordered prefix sum WITHOUT a single-partition window
+    (range-bucketed offsets, the distributed_rank pattern); the oracle is
+    the direct cumulative window in SQL — exact integers, so the
+    distributed and naive forms must agree bit-for-bit."""
+    from gujarati_readability_pagewise_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return pack_sequences(docs, seq_len=512)
+
+
+def q_crawl_schedule(spark, sf):
+    """Per-host politeness scheduling (the crawl-frontier rule): every
+    fetch gets a slot and a deterministic start offset 10 s apart within
+    its host, ordered by the cross-engine stable hash — the one window
+    whose per-host serialization is the SEMANTICS (politeness), not a
+    skew accident.  Emits per-host slots plus the schedule makespan
+    check column."""
+    from gujarati_readability_pagewise_spark.operators.sampling import (
+        crawl_schedule,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    pages = docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string")).alias(
+            "host"
+        ),
+    )
+    out = crawl_schedule(pages, host_col="host", key_col="doc_id")
+    return out.select(
+        "doc_id", "host", F.col("slot").cast("int").alias("slot"), "sched_offset_s"
+    )
+
+
 def q_dedup_exact_substr(spark, sf):
     """ExactSubstr dedup (Lee et al. 2021) — exact duplicate SUBSTRING
     spans across the corpus, the dedup tier the MinHash family cannot
@@ -3243,6 +3284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11": q_tpch_q11,
         "tpch_q20": q_tpch_q20,
         "dedup_exact_substr": q_dedup_exact_substr,
+        "sequence_packing": q_sequence_packing,
+        "crawl_schedule": q_crawl_schedule,
         # -- LLM-pipeline core (driver-witnessed r3) --
         "pipeline_extract": q_pipeline_extract,
         "pipeline_features": q_pipeline_features,
@@ -3601,6 +3644,41 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 20 AND 40)
         """,
         "pii_scrub_fixpoint": _pii_fixpoint_oracle(),
+        "sequence_packing": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE CAST(len(regexp_split_to_array(trim(text),
+                                    '\\s+')) AS INT) END AS n_tokens
+              FROM documents),
+                 c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum_before
+              FROM t)
+            SELECT doc_id, n_tokens, cum_before,
+                   CAST(cum_before // 512 AS BIGINT) AS start_chunk,
+                   CAST(cum_before % 512 AS BIGINT) AS start_offset,
+                   CAST(CASE WHEN n_tokens = 0 THEN cum_before // 512
+                        ELSE (cum_before + n_tokens - 1) // 512 END
+                        AS BIGINT) AS end_chunk
+            FROM c
+        """,
+        "crawl_schedule": """
+            WITH pages AS (
+              SELECT doc_id, 'h' || CAST(doc_id % 7 AS VARCHAR) AS host
+              FROM documents)
+            SELECT doc_id, host,
+                   CAST(row_number() OVER (PARTITION BY host
+                     ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '#q0'),
+                               1, 15))::BIGINT, doc_id) AS INT) AS slot,
+                   CAST((row_number() OVER (PARTITION BY host
+                     ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '#q0'),
+                               1, 15))::BIGINT, doc_id) - 1) * 10 AS BIGINT)
+                     AS sched_offset_s
+            FROM pages
+        """,
         "dedup_exact_substr": """
             WITH wins AS (
               SELECT doc_id, i AS pos, md5(substr(text, i, 40)) AS h

@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["stable_order", "host_quota_sample", "stratified_fixed_n", "mixture_sample"]
+__all__ = [
+    "stable_order",
+    "host_quota_sample",
+    "stratified_fixed_n",
+    "mixture_sample",
+    "crawl_schedule",
+]
 
 
 def stable_order(col: Column, seed: int = 0) -> Column:
@@ -115,4 +121,39 @@ def mixture_sample(
         .withColumn("mix_rank", F.row_number().over(w))
         .filter(F.col("mix_rank") <= F.col("_quota"))
         .drop("_quota")
+    )
+
+
+def crawl_schedule(
+    df: DataFrame,
+    host_col: str = "host",
+    key_col: str = "url",
+    min_interval_s: int = 10,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Per-host politeness schedule: assign every fetch a slot and a
+    deterministic start offset, ``min_interval_s`` apart within each host.
+
+    The crawl-frontier rule every large crawler enforces (one request per
+    host per interval) as a batch plan: slot = rank within host (by
+    ``priority_col`` if given, else the stable hash of the key — so the
+    within-host order is retry-deterministic and oracle-checkable), and
+    ``sched_offset_s = (slot - 1) * min_interval_s``.
+
+    Scale note: the per-host window is the SEMANTICS, not an accident — a
+    host's fetches are inherently serialized by politeness, so its rows
+    must meet in one task; salting would break the slot sequence.  The
+    window state is bounded by the host's frontier size, and a hot host's
+    long schedule is exactly what the politeness constraint says it must
+    have.  Output adds (slot int, sched_offset_s long).
+    """
+    order = (
+        [F.col(priority_col), F.col(key_col)]
+        if priority_col
+        else [stable_order(F.col(key_col)), F.col(key_col)]
+    )
+    w = W.partitionBy(host_col).orderBy(*order)
+    return df.withColumn("slot", F.row_number().over(w)).withColumn(
+        "sched_offset_s",
+        ((F.col("slot") - 1) * min_interval_s).cast("long"),
     )

@@ -414,3 +414,80 @@ def test_heavy_hitters_hash_sampled_deterministic_and_detects(spark):
     assert a == b
     assert any(r[0] == "hot" for r in a)  # ~33% key detected
     assert all(r[0] == "hot" for r in a)  # 1% keys stay below the margin
+
+
+def test_pack_sequences_matches_naive_cumsum(spark):
+    """The range-bucketed distributed prefix sum must equal the naive
+    single-window packing exactly (integers), handle empty docs, and mark
+    long docs as spanning multiple chunks."""
+    import pandas as pd
+    from pyspark.sql import Window as W2
+
+    from gujarati_readability_pagewise_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rows = []
+    for i in range(300):
+        if i % 17 == 0:
+            rows.append((i, "   "))  # empty after trim
+        elif i % 5 == 0:
+            rows.append((i, "tok " * 700))  # spans >1 chunk at 512
+        else:
+            rows.append((i, "w " * (i % 90 + 1)))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = pack_sequences(docs, seq_len=512, n_buckets=8)
+    g = {r["doc_id"]: r for r in got.collect()}
+    # naive single-window reference
+    trimmed = F.trim(F.col("text"))
+    n_tok = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    t = docs.select("doc_id", n_tok.cast("int").alias("n"))
+    w = W2.orderBy("doc_id").rowsBetween(W2.unboundedPreceding, -1)
+    naive = {
+        r["doc_id"]: r["cum"]
+        for r in t.withColumn(
+            "cum", F.coalesce(F.sum("n").over(w), F.lit(0))
+        ).collect()
+    }
+    for k, r in g.items():
+        assert r["cum_before"] == naive[k], k
+        assert r["start_chunk"] == r["cum_before"] // 512
+        assert r["start_offset"] == r["cum_before"] % 512
+        if r["n_tokens"] == 0:
+            assert r["end_chunk"] == r["start_chunk"]
+        else:
+            assert r["end_chunk"] == (r["cum_before"] + r["n_tokens"] - 1) // 512
+    assert any(r["end_chunk"] > r["start_chunk"] for r in g.values())  # spanners
+    # partitioning-independent
+    again = sorted(
+        map(tuple, pack_sequences(docs.repartition(16), seq_len=512, n_buckets=8).collect())
+    )
+    assert sorted(map(tuple, got.collect())) == again
+
+
+def test_crawl_schedule_politeness_invariants(spark):
+    """Within every host: slots are 1..n with no gaps, offsets are
+    min_interval apart, and the assignment is retry/partitioning
+    deterministic."""
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.operators.sampling import (
+        crawl_schedule,
+    )
+
+    rows = [(i, f"h{i % 5}") for i in range(200)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "host"]))
+    out = crawl_schedule(df, host_col="host", key_col="url", min_interval_s=10)
+    pdf = out.toPandas()
+    for host, grp in pdf.groupby("host"):
+        slots = sorted(grp.slot)
+        assert slots == list(range(1, len(grp) + 1))
+        assert set(grp.sched_offset_s) == {(s - 1) * 10 for s in slots}
+    again = crawl_schedule(
+        df.repartition(16), host_col="host", key_col="url", min_interval_s=10
+    ).toPandas()
+    a = pdf.sort_values(["host", "url"]).reset_index(drop=True)
+    b = again.sort_values(["host", "url"]).reset_index(drop=True)
+    assert a.equals(b)
