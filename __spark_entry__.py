@@ -2628,6 +2628,20 @@ def q_tpch_q21(spark, sf):
     )
 
 
+def q_vocab_coverage(spark, sf):
+    """Tokenizer-budget analysis: top-100 corpus vocabulary with the
+    cumulative coverage curve (share of all token occurrences captured by
+    a k-entry vocab).  Counts aggregate map-side; top-k is a TakeOrdered;
+    the cumulative window runs over 100 rows.  Deterministic tie-break on
+    the token string; one long/long division for the coverage."""
+    from gujarati_readability_pagewise_spark.functions.textstats import (
+        vocab_coverage,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return vocab_coverage(docs, k=100)
+
+
 def q_sequence_packing(spark, sf):
     """Cross-document sequence PACKING (GPT-style concat-and-chunk): where
     each doc's token span lands when the key-ordered corpus is sliced
@@ -2794,7 +2808,9 @@ def q_tpch_q11(spark, sf):
     subquery over the same aggregate — parts whose inventory value exceeds
     1/1300 of the global total.  Spark-first: the global total is a 1-row
     broadcast crossJoin (no partsupp in the testdata; value is derived
-    from lineitem cents×quantity, same both engines)."""
+    from lineitem cents×quantity, same both engines).  plan_audit flags
+    BNL_JOIN+SINGLE_PART here by design: both are the 1-row scalar
+    broadcast, the same adjudicated-benign shape as tpch_q22."""
     li = load_table(spark, sf, "lineitem")
     v = li.groupBy("l_partkey").agg(
         F.sum(
@@ -3286,6 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_substr": q_dedup_exact_substr,
         "sequence_packing": q_sequence_packing,
         "crawl_schedule": q_crawl_schedule,
+        "vocab_coverage": q_vocab_coverage,
         # -- LLM-pipeline core (driver-witnessed r3) --
         "pipeline_extract": q_pipeline_extract,
         "pipeline_features": q_pipeline_features,
@@ -3644,6 +3661,30 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 20 AND 40)
         """,
         "pii_scrub_fixpoint": _pii_fixpoint_oracle(),
+        "vocab_coverage": """
+            WITH toks AS (
+              SELECT t.token FROM documents,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) t(token)
+              WHERE length(t.token) > 0),
+                 counts AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS cnt
+              FROM toks GROUP BY token),
+                 total AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM counts),
+                 top AS (
+              SELECT token, cnt FROM counts
+              ORDER BY cnt DESC, token LIMIT 100)
+            SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT)
+                     AS rank,
+                   token, cnt,
+                   CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_cnt,
+                   CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) / CAST((SELECT t FROM total) AS DOUBLE)
+                     AS cum_coverage
+            FROM top
+        """,
         "sequence_packing": """
             WITH t AS (
               SELECT doc_id,

@@ -13,7 +13,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["lang_id_expr", "quality_score_expr", "token_count_expr", "fingerprint_expr"]
+__all__ = [
+    "lang_id_expr",
+    "quality_score_expr",
+    "token_count_expr",
+    "fingerprint_expr",
+    "vocab_coverage",
+]
 
 
 def _ratio(pattern: str, col: Column) -> Column:
@@ -74,3 +80,46 @@ def fingerprint_expr(col: Column) -> Column:
     Exact-dup detection key; cross-engine (DuckDB:
     ``('0x'||substr(md5(x),1,15))::BIGINT``)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def vocab_coverage(
+    docs, text_col: str = "text", k: int = 100, n_partitions: int | None = None
+):
+    """Tokenizer-budget analysis: the top-``k`` corpus vocabulary with
+    cumulative coverage — what fraction of all token OCCURRENCES a
+    k-entry vocabulary captures (the curve a tokenizer-training run reads
+    before picking its vocab size).
+
+    Shape at 10^12 docs: the token counts aggregate map-side (one row per
+    distinct token crosses the shuffle); the top-k is a TakeOrdered (no
+    global sort) and the cumulative window runs over k rows only.  Ties
+    break on the token string so the ranking is deterministic.  Output:
+    (rank, token, cnt, cum_cnt, cum_coverage) with cum_coverage =
+    cum_cnt / total_tokens — one long/long float division, engine-exact.
+    """
+    from pyspark.sql import Window as W
+
+    d = docs
+    if n_partitions:
+        d = d.repartition(n_partitions)
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    ).filter(F.length("token") > 0)
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    top = counts.orderBy(F.desc("cnt"), "token").limit(k)
+    w = W.orderBy(F.desc("cnt"), "token").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )  # k-row window: the tiny-window exception, by design
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn("cum_cnt", F.sum("cnt").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "token",
+            "cnt",
+            "cum_cnt",
+            (F.col("cum_cnt") / F.col("_total")).alias("cum_coverage"),
+        )
+    )
