@@ -53,3 +53,64 @@ def test_run_pipeline_scrub_flag(spark, tmp_path):
     red = spark.read.parquet(str(tmp_path / "scrubbed" / "extracted"))
     assert red.filter(F.col("text").contains("leak.address@")).count() == 0
     assert red.filter(F.col("text").contains("<EMAIL>")).count() > 0
+
+
+def test_corpus_release_end_to_end(spark, tmp_path):
+    """plans/release: curation drops the planted garbage doc, verified
+    near-dup removal keeps exactly one of a planted near-identical pair,
+    the scrub redacts planted PII at the fixpoint, packing coordinates
+    are consistent, and the whole release is deterministic (re-run
+    produces identical rows)."""
+    from pyspark.sql import functions as F
+
+    from gujarati_readability_pagewise_spark.plans.release import run_release
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = base.filter(F.col("doc_id") < 60).select("doc_id", "text")
+    dup = base.filter(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tiny tail")).alias("text"),
+    )
+    extra = spark.createDataFrame(
+        [
+            (20001, "#### !!!! ???? @@@@ %%%% ^^^^ &&&& **** (((( ))))"
+                     " $$$$ #### !!!! ???? @@@@ %%%%"),  # garbage: fails quality
+            (20002, "write to someone@example-mail.org and 10.1.2.3,10.1.2.4 "
+                     "about the well written and pleasantly long document that "
+                     "keeps a perfectly ordinary words ratio across all of its "
+                     "many plain sentences. it continues with more ordinary "
+                     "text so the length band and quality threshold pass."),
+        ],
+        "doc_id long, text string",
+    )
+    docs = src.unionByName(dup).unionByName(extra)
+    out = str(tmp_path / "rel")
+    res = run_release(spark, docs, out, job_id="rel-test")
+    assert res["n_input"] >= res["n_curated"] >= res["n_survivors"] == res["n_released"]
+    rel = spark.read.parquet(f"{out}/released")
+    ids = {r["doc_id"] for r in rel.select("doc_id").collect()}
+    assert 20001 not in ids  # garbage culled by quality rule
+    # near-dup pair: exactly one of (3, 10003) survives
+    assert len({3, 10003} & ids) == 1
+    assert 20002 in ids  # crafted to pass every curation rule
+    row = rel.filter("doc_id = 20002").first()
+    assert "someone@example-mail.org" not in row["text"]
+    assert "<EMAIL>" in row["text"]
+    assert "10.1.2.3" not in row["text"] and "10.1.2.4" not in row["text"]
+    pk = rel.select("doc_id", "cum_before", "start_chunk", "end_chunk").collect()
+    assert all(r["start_chunk"] <= r["end_chunk"] for r in pk)
+    # deterministic re-run
+    out2 = str(tmp_path / "rel2")
+    run_release(spark, docs, out2, job_id="rel-test-2")
+    a = sorted(map(tuple, rel.select("doc_id", "text", "start_chunk").collect()))
+    b = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{out2}/released")
+            .select("doc_id", "text", "start_chunk")
+            .collect(),
+        )
+    )
+    assert a == b
+    funnel = {r["stage"]: r["n"] for r in spark.read.parquet(f"{out}/funnel").collect()}
+    assert funnel["n_input"] == docs.count()
