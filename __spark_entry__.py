@@ -2713,6 +2713,40 @@ def q_dedup_exact_substr(spark, sf):
     )
 
 
+def q_dedup_incremental_substr(spark, sf):
+    """INCREMENTAL ExactSubstr dedup — the daily-ingest form: the stored
+    corpus (doc_id < 350) is represented only by its window-hash index
+    (operators/dedup.window_hash_index); the new snapshot (doc_id ≥ 350)
+    finds its duplicate spans against that index plus within itself,
+    never re-touching corpus text (cost ∝ snapshot, mirroring
+    dedup_incremental for the MinHash family).  Because corpus keys
+    precede snapshot keys, the result provably equals the full-corpus
+    duplicate_spans restricted to snapshot docs — which is exactly what
+    the oracle computes (full-corpus SQL re-derivation, filtered)."""
+    from gujarati_readability_pagewise_spark.operators.dedup import (
+        duplicate_spans_incremental,
+        window_hash_index,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    par = spark.sparkContext.defaultParallelism
+    corpus = docs.filter(F.col("doc_id") < 350)
+    snap = docs.filter(F.col("doc_id") >= 350)
+    idx = window_hash_index(corpus, window=40, n_partitions=par)
+    spans = duplicate_spans_incremental(snap, idx, window=40, n_partitions=par)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_chars"),
+        F.sum("n_windows").alias("n_dup_windows"),
+    )
+    return snap.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+    )
+
+
 def q_tpch_q8(spark, sf):
     """Q8 shape (national market share): the widest dimension fan of the
     suite — lineitem at the center, SIX dimension joins (orders, part,
@@ -3300,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11": q_tpch_q11,
         "tpch_q20": q_tpch_q20,
         "dedup_exact_substr": q_dedup_exact_substr,
+        "dedup_incremental_substr": q_dedup_incremental_substr,
         "sequence_packing": q_sequence_packing,
         "crawl_schedule": q_crawl_schedule,
         "vocab_coverage": q_vocab_coverage,
@@ -3661,6 +3696,47 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 20 AND 40)
         """,
         "pii_scrub_fixpoint": _pii_fixpoint_oracle(),
+        "dedup_incremental_substr": """
+            WITH wins AS (
+              SELECT doc_id, i AS pos, md5(substr(text, i, 40)) AS h
+              FROM documents,
+                   unnest(range(1, greatest(length(text) - 39, 0) + 1)) t(i)),
+                 marked AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY h
+                                        ORDER BY doc_id, pos) AS rn
+              FROM wins),
+                 dups AS (
+              SELECT doc_id, pos FROM marked WHERE rn > 1 AND doc_id >= 350),
+                 brk AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                    ORDER BY pos) > 40
+                          THEN 1 ELSE 0 END AS b
+              FROM dups),
+                 grp AS (
+              SELECT doc_id, pos,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+              FROM brk),
+                 spans AS (
+              SELECT doc_id, g, min(pos) AS span_start,
+                     max(pos) + 39 AS span_end, count(*) AS n_windows
+              FROM grp GROUP BY doc_id, g),
+                 per_doc AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_spans,
+                     CAST(sum(span_end - span_start + 1) AS BIGINT)
+                       AS dup_chars,
+                     CAST(sum(n_windows) AS BIGINT) AS n_dup_windows
+              FROM spans GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.n_spans, 0) AS n_spans,
+                   coalesce(p.dup_chars, 0) AS dup_chars,
+                   coalesce(p.n_dup_windows, 0) AS n_dup_windows
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            WHERE d.doc_id >= 350
+        """,
         "vocab_coverage": """
             WITH toks AS (
               SELECT t.token FROM documents,

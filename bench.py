@@ -233,6 +233,7 @@ def main() -> None:
         "gopher_repetition",
         "histogram_quantiles",
         "dedup_sentences",
+        "dedup_exact_substr",
     }
     query_trials: dict[str, dict] = {}
     for name in (
@@ -255,6 +256,9 @@ def main() -> None:
         "gopher_repetition",
         "dedup_sentences",
         "histogram_quantiles",
+        # round-4 flagships: ExactSubstr span dedup, cross-doc packing
+        "dedup_exact_substr",
+        "sequence_packing",
     ):
         n_trials = 3 if name in heavy else 1
         times = []

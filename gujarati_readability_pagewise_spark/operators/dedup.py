@@ -41,6 +41,8 @@ __all__ = [
     "simhash_candidates",
     "simhash_near_pairs",
     "duplicate_spans",
+    "window_hash_index",
+    "duplicate_spans_incremental",
     "release_persisted",
 ]
 
@@ -623,6 +625,107 @@ def duplicate_spans(
             F.when(
                 F.col("pos") - F.lag("pos").over(byd) > window, 1
             ).otherwise(0),
+        )
+        .withColumn(
+            "g",
+            F.sum("brk").over(byd.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    return grp.groupBy(key_col, "g").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + window - 1).alias("span_end"),
+        F.count("*").alias("n_windows"),
+    ).drop("g")
+
+
+def window_hash_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    window: int = 40,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """The stored corpus-side index for incremental ExactSubstr dedup:
+    one row per distinct window hash with its global first occurrence —
+    ``(h, first_key, first_pos)``.  Persist this bucketed by ``h``
+    (operators/colocate) so the daily incremental join reads only the
+    matching buckets and shuffles nothing but the new snapshot."""
+    d = docs.select(key_col, text_col)
+    if n_partitions:
+        d = d.repartition(n_partitions, key_col)
+    seq = F.when(
+        F.length(text_col) >= window,
+        F.sequence(F.lit(1), F.length(text_col) - window + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = d.select(
+        key_col, F.col(text_col), F.explode(seq).alias("pos")
+    ).select(
+        key_col,
+        "pos",
+        F.md5(F.col(text_col).substr(F.col("pos"), F.lit(window))).alias("h"),
+    )
+    return wins.groupBy("h").agg(
+        F.min(F.struct(F.col(key_col).alias("k"), F.col("pos").alias("p"))).alias("f")
+    ).select("h", F.col("f.k").alias("first_key"), F.col("f.p").alias("first_pos"))
+
+
+def duplicate_spans_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    window: int = 40,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Incremental ExactSubstr dedup: duplicate spans in a NEW snapshot
+    against the stored corpus ``window_hash_index`` — the daily-ingest
+    shape (cost ∝ new snapshot, never corpus×corpus, mirroring
+    lsh_cross_candidates for the MinHash family).
+
+    A new window is a duplicate if its hash is already in the index (the
+    corpus copy survives) OR it repeats within the new snapshot (the
+    snapshot's first occurrence survives).  When corpus keys precede
+    snapshot keys, the result provably equals the full-corpus
+    ``duplicate_spans`` restricted to snapshot docs (asserted in tests) —
+    the incremental form just never touches corpus text again.  Same
+    span-merge and output contract as ``duplicate_spans``.
+    """
+    d = new_docs.select(key_col, text_col)
+    if n_partitions:
+        d = d.repartition(n_partitions, key_col)
+    seq = F.when(
+        F.length(text_col) >= window,
+        F.sequence(F.lit(1), F.length(text_col) - window + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = d.select(
+        key_col, F.col(text_col), F.explode(seq).alias("pos")
+    ).select(
+        key_col,
+        "pos",
+        F.md5(F.col(text_col).substr(F.col("pos"), F.lit(window))).alias("h"),
+    )
+    j = _persist(wins.join(index.select("h"), "h", "left_semi"))
+    fresh = wins.join(index.select("h"), "h", "left_anti")
+    firsts = fresh.groupBy("h").agg(
+        F.min(F.struct(key_col, "pos")).alias("first"),
+        F.count("*").alias("cnt"),
+    )
+    dups_new = (
+        fresh.join(firsts.filter(F.col("cnt") >= 2).select("h", "first"), "h")
+        .filter(
+            ~(
+                (F.col(key_col) == F.col(f"first.{key_col}"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select(key_col, "pos")
+    )
+    dups = j.select(key_col, "pos").unionByName(dups_new).distinct()
+    byd = W.partitionBy(key_col).orderBy("pos")
+    grp = (
+        dups.withColumn(
+            "brk",
+            F.when(F.col("pos") - F.lag("pos").over(byd) > window, 1).otherwise(0),
         )
         .withColumn(
             "g",

@@ -487,3 +487,48 @@ def test_duplicate_spans_finds_planted_copied_paragraph(spark):
         map(tuple, duplicate_spans(docs.repartition(7), window=40).collect())
     )
     assert sorted(map(tuple, spans)) == again
+
+
+def test_incremental_spans_equal_full_corpus_restriction(spark):
+    """The incremental ExactSubstr form (snapshot vs stored window-hash
+    index, corpus text never re-read) must equal the full-corpus
+    duplicate_spans restricted to snapshot docs, when corpus keys precede
+    snapshot keys."""
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.operators.dedup import (
+        duplicate_spans,
+        duplicate_spans_incremental,
+        window_hash_index,
+    )
+
+    para = "a reasonably long shared paragraph that is certainly over forty characters"
+    rows = [
+        (0, "corpus doc zero holds the original:" + para + "and then some."),
+        (1, "corpus doc one is entirely distinct material with its own words."),
+        # snapshot: one doc copying from corpus, one copying within-snapshot,
+        # one clean
+        (10, "snapshot doc ten reuses;" + para + "inside new framing."),
+        (11, "fresh snapshot paragraph that itself gets copied once more ok!"),
+        (12, "prefix differs but the tail matches:" + "fresh snapshot paragraph that itself gets copied once more ok!"),
+        (13, "a clean snapshot document sharing nothing with anybody at all."),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    corpus = docs.filter("doc_id < 10")
+    snap = docs.filter("doc_id >= 10")
+    idx = window_hash_index(corpus, window=40)
+    inc = sorted(
+        map(tuple, duplicate_spans_incremental(snap, idx, window=40).collect())
+    )
+    full = sorted(
+        map(
+            tuple,
+            duplicate_spans(docs, window=40)
+            .filter("doc_id >= 10")
+            .collect(),
+        )
+    )
+    assert inc == full
+    assert any(r[0] == 10 for r in inc)  # cross-corpus copy found
+    assert any(r[0] in (11, 12) for r in inc)  # within-snapshot copy found
+    assert all(r[0] != 13 for r in inc)
