@@ -532,3 +532,71 @@ def test_incremental_spans_equal_full_corpus_restriction(spark):
     assert any(r[0] == 10 for r in inc)  # cross-corpus copy found
     assert any(r[0] in (11, 12) for r in inc)  # within-snapshot copy found
     assert all(r[0] != 13 for r in inc)
+
+
+def test_duplicate_spans_matches_python_reference_on_random_corpora(spark):
+    """Property check: duplicate_spans must equal an O(n²) pure-Python
+    reference (same first-occurrence + island-merge rules) on seeded
+    random corpora with planted shared fragments."""
+    import random
+
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    def reference(texts, window):
+        firsts = {}
+        occ = []
+        for did in sorted(texts):
+            t = texts[did]
+            for pos in range(1, max(len(t) - window + 1, 0) + 1):
+                h = t[pos - 1 : pos - 1 + window]
+                occ.append((did, pos, h))
+                firsts.setdefault(h, 0)
+                firsts[h] += 1
+        seen = {}
+        dups = {}
+        for did, pos, h in occ:  # occ is in (doc, pos) order already
+            if h in seen:
+                dups.setdefault(did, []).append(pos)
+            else:
+                seen[h] = (did, pos)
+        out = []
+        for did, poss in dups.items():
+            poss.sort()
+            start = prev = poss[0]
+            n = 1
+            for p in poss[1:]:
+                if p - prev > window:
+                    out.append((did, start, prev + window - 1, n))
+                    start, n = p, 0
+                prev = p
+                n += 1
+            out.append((did, start, prev + window - 1, n))
+        return sorted(out)
+
+    rng = random.Random(31)
+    frags = ["".join(rng.choice("abcd ") for _ in range(25)) for _ in range(6)]
+    for trial in range(3):
+        texts = {}
+        for did in range(12):
+            parts = []
+            for _ in range(rng.randint(1, 5)):
+                if rng.random() < 0.5:
+                    parts.append(rng.choice(frags))
+                else:
+                    parts.append("".join(rng.choice("wxyz ") for _ in range(rng.randint(5, 40))))
+            texts[did] = "".join(parts)
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                [(k, v) for k, v in sorted(texts.items())],
+                columns=["doc_id", "text"],
+            )
+        )
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+            for r in duplicate_spans(docs, window=20).collect()
+        )
+        assert got == reference(texts, 20), (trial, got)
