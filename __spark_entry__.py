@@ -2628,6 +2628,29 @@ def q_tpch_q21(spark, sf):
     )
 
 
+def q_volume_anomalies(spark, sf):
+    """Ingest monitoring: crawl-volume burst detection with an
+    EXACT-INTEGER rolling z-score — the |x−mean| > 3σ rule
+    cross-multiplied to (W·x−Σ)² > 9·(W·Σx²−Σ²) so no division or sqrt
+    ever touches a float (a float z would drift in the variance's
+    summation order).  A deterministic burst (every 7th event re-stamped
+    into one 6-hour bucket) is planted and must be flagged; the oracle
+    re-derives buckets, trailing sums, and the integer rule."""
+    from gujarati_readability_pagewise_spark.operators.monitor import (
+        volume_anomalies,
+    )
+
+    ev = load_table(spark, sf, "events")
+    burst = ev.filter(F.col("event_id") % 7 == 0).select(
+        F.lit("2024-01-20 03:00:07").cast("timestamp").alias("ts"),
+        F.lit("click").alias("event_type"),
+    )
+    planted = ev.select("ts", "event_type").unionByName(burst)
+    return volume_anomalies(
+        planted, bucket_seconds=21600, trailing=20, k=3, min_trailing=8
+    )
+
+
 def q_vocab_coverage(spark, sf):
     """Tokenizer-budget analysis: top-100 corpus vocabulary with the
     cumulative coverage curve (share of all token occurrences captured by
@@ -3338,6 +3361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "crawl_schedule": q_crawl_schedule,
         "vocab_coverage": q_vocab_coverage,
+        "volume_anomalies": q_volume_anomalies,
         # -- LLM-pipeline core (driver-witnessed r3) --
         "pipeline_extract": q_pipeline_extract,
         "pipeline_features": q_pipeline_features,
@@ -3736,6 +3760,37 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(p.n_dup_windows, 0) AS n_dup_windows
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
             WHERE d.doc_id >= 350
+        """,
+        "volume_anomalies": """
+            WITH planted AS (
+              SELECT ts, event_type FROM events
+              UNION ALL
+              SELECT TIMESTAMP '2024-01-20 03:00:07' AS ts,
+                     'click' AS event_type
+              FROM events WHERE event_id % 7 = 0),
+                 counts AS (
+              SELECT event_type AS key,
+                     CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600
+                       AS bucket_start,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM planted GROUP BY 1, 2),
+                 win AS (
+              SELECT key, bucket_start, n,
+                     CAST(count(n) OVER w AS BIGINT) AS w_cnt,
+                     CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS sum_prior,
+                     CAST(coalesce(sum(n * n) OVER w, 0) AS BIGINT)
+                       AS sumsq_prior
+              FROM counts
+              WINDOW w AS (PARTITION BY key ORDER BY bucket_start
+                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+            SELECT key, bucket_start, n, w_cnt, sum_prior, sumsq_prior,
+                   CASE WHEN w_cnt >= 8
+                         AND w_cnt * n > sum_prior
+                         AND (w_cnt * n - sum_prior) * (w_cnt * n - sum_prior)
+                             > 9 * (w_cnt * sumsq_prior
+                                    - sum_prior * sum_prior)
+                        THEN 1 ELSE 0 END AS is_anomaly
+            FROM win
         """,
         "vocab_coverage": """
             WITH toks AS (

@@ -1,0 +1,81 @@
+"""Ingest monitoring: crawl-volume anomaly detection over time buckets.
+
+A 100 TB crawl pipeline watches its own arrival rates: a host or feed
+whose hourly volume jumps to k standard deviations above its trailing
+mean is a crawler loop, a spam burst, or an outage backfill — flagging
+it is the observability layer next to the metrics sink.
+
+The statistics are the classic rolling z-score, but expressed so the
+cross-engine gate can verify them EXACTLY: counts are integers, and the
+|x − mean| > k·std rule is cross-multiplied to kill both the division
+and the sqrt::
+
+    (W·x − Σ)²  >  k² · (W·Σx² − Σ²)          -- all BIGINT arithmetic
+
+where Σ/Σx² run over the W trailing buckets.  Both sides are exact
+integers, so the flag is bit-identical across engines and partitionings
+— a float z-score would drift in the variance's summation order.
+
+Scale shape: one hash aggregation to the (key, bucket) counts (map-side
+combinable; the bucket count table is ~|keys|·|hours|, tiny relative to
+the event stream), then a per-key window over time buckets — bounded by
+the monitoring horizon, never by event volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["volume_anomalies"]
+
+
+def volume_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    bucket_seconds: int = 3600,
+    trailing: int = 24,
+    k: int = 3,
+    min_trailing: int = 8,
+) -> DataFrame:
+    """Per-(key, bucket) counts with an exact-integer anomaly flag.
+
+    A bucket is anomalous when its count ``x`` vs the ``trailing``
+    PRIOR buckets' counts satisfies (W·x − Σ)² > k²·(W·Σx² − Σ²) AND
+    x exceeds the trailing mean (one-sided: bursts, not droughts) —
+    evaluated only once ``min_trailing`` prior buckets exist.  Output:
+    (key, bucket_start, n, w_cnt, sum_prior, sumsq_prior, is_anomaly).
+    """
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds) * bucket_seconds
+    ).cast("long")
+    counts = (
+        events.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket_start"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        W.partitionBy("key")
+        .orderBy("bucket_start")
+        .rowsBetween(-trailing, -1)
+    )
+    prior_n = F.count("n").over(w).cast("long")
+    prior_sum = F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    prior_sumsq = F.coalesce(F.sum(F.col("n") * F.col("n")).over(w), F.lit(0)).cast(
+        "long"
+    )
+    lhs = (prior_n * F.col("n") - prior_sum)
+    flag = (
+        (prior_n >= min_trailing)
+        & (prior_n * F.col("n") > prior_sum)  # one-sided: burst only
+        & (lhs * lhs > k * k * (prior_n * prior_sumsq - prior_sum * prior_sum))
+    )
+    return counts.select(
+        "key",
+        "bucket_start",
+        "n",
+        prior_n.alias("w_cnt"),
+        prior_sum.alias("sum_prior"),
+        prior_sumsq.alias("sumsq_prior"),
+        flag.cast("int").alias("is_anomaly"),
+    )

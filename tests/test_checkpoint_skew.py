@@ -491,3 +491,35 @@ def test_crawl_schedule_politeness_invariants(spark):
     a = pdf.sort_values(["host", "url"]).reset_index(drop=True)
     b = again.sort_values(["host", "url"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_volume_anomalies_flags_planted_burst(spark):
+    """The integer z-rule must flag a planted 50x burst, never flag
+    buckets before min_trailing history exists, and be deterministic
+    under repartitioning."""
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.operators.monitor import (
+        volume_anomalies,
+    )
+
+    rows = []
+    base = 1_700_000_000
+    for h in range(40):
+        per = 12 if h != 30 else 600  # planted burst at bucket 30
+        for i in range(per):
+            rows.append((pd.Timestamp(base + h * 3600 + i, unit="s"), "feed"))
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["ts", "event_type"])
+    )
+    out = volume_anomalies(ev, bucket_seconds=3600, trailing=24, k=3).collect()
+    flags = {r["bucket_start"]: r["is_anomaly"] for r in out}
+    burst_bucket = (base + 30 * 3600) // 3600 * 3600
+    assert flags[burst_bucket] == 1
+    assert sum(flags.values()) == 1  # steady 12/hour is never anomalous
+    first_buckets = sorted(flags)[:8]
+    assert all(flags[b] == 0 for b in first_buckets)  # min_trailing guard
+    again = volume_anomalies(
+        ev.repartition(16), bucket_seconds=3600, trailing=24, k=3
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
