@@ -2736,6 +2736,30 @@ def q_dedup_exact_substr(spark, sf):
     )
 
 
+def q_dedup_cut_text(spark, sf):
+    """The CUTTING half of ExactSubstr dedup composed with the finder:
+    every duplicate span is removed from its doc's text (global first
+    occurrence kept), via one JVM higher-order aggregate over the doc's
+    sorted span array — no explode of the text, no Python.  Emits the
+    content digest of the cut text per doc so the oracle verifies the
+    reconstruction byte-for-byte (lag-window segment derivation +
+    ordered string_agg in SQL)."""
+    from gujarati_readability_pagewise_spark.operators.dedup import (
+        cut_spans,
+        duplicate_spans,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    spans = duplicate_spans(docs, window=40, n_partitions=par)
+    out = cut_spans(docs, spans)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("cut_md5"),
+        "n_cut_chars",
+    )
+
+
 def q_dedup_incremental_substr(spark, sf):
     """INCREMENTAL ExactSubstr dedup — the daily-ingest form: the stored
     corpus (doc_id < 350) is represented only by its window-hash index
@@ -3358,6 +3382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "dedup_exact_substr": q_dedup_exact_substr,
         "dedup_incremental_substr": q_dedup_incremental_substr,
+        "dedup_cut_text": q_dedup_cut_text,
         "sequence_packing": q_sequence_packing,
         "crawl_schedule": q_crawl_schedule,
         "vocab_coverage": q_vocab_coverage,
@@ -3720,6 +3745,59 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 20 AND 40)
         """,
         "pii_scrub_fixpoint": _pii_fixpoint_oracle(),
+        "dedup_cut_text": """
+            WITH wins AS (
+              SELECT doc_id, i AS pos, md5(substr(text, i, 40)) AS h
+              FROM documents,
+                   unnest(range(1, greatest(length(text) - 39, 0) + 1)) t(i)),
+                 marked AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY h
+                                        ORDER BY doc_id, pos) AS rn
+              FROM wins),
+                 dups AS (SELECT doc_id, pos FROM marked WHERE rn > 1),
+                 brk AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                    ORDER BY pos) > 40
+                          THEN 1 ELSE 0 END AS b
+              FROM dups),
+                 grp AS (
+              SELECT doc_id, pos,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+              FROM brk),
+                 spans AS (
+              SELECT doc_id, g, min(pos) AS span_start,
+                     max(pos) + 39 AS span_end
+              FROM grp GROUP BY doc_id, g),
+                 segs AS (
+              -- kept segment BEFORE each span, from the previous span's
+              -- end (cursor rule identical to cut_spans' aggregate)
+              SELECT doc_id,
+                     coalesce(lag(span_end) OVER w, 0) + 1 AS seg_start,
+                     span_start - 1 AS seg_end
+              FROM spans WINDOW w AS (PARTITION BY doc_id ORDER BY span_start)
+              UNION ALL
+              SELECT doc_id, max(span_end) + 1 AS seg_start,
+                     2147483647 AS seg_end
+              FROM spans GROUP BY doc_id),
+                 cut AS (
+              SELECT s.doc_id,
+                     string_agg(
+                       substr(d.text, s.seg_start,
+                              greatest(least(s.seg_end, length(d.text))
+                                       - s.seg_start + 1, 0)),
+                       '' ORDER BY s.seg_start) AS cut_text
+              FROM segs s JOIN documents d USING (doc_id)
+              GROUP BY s.doc_id)
+            SELECT d.doc_id,
+                   md5(coalesce(c.cut_text, d.text)) AS cut_md5,
+                   CAST(length(d.text)
+                        - length(coalesce(c.cut_text, d.text)) AS BIGINT)
+                     AS n_cut_chars
+            FROM documents d LEFT JOIN cut c USING (doc_id)
+        """,
         "dedup_incremental_substr": """
             WITH wins AS (
               SELECT doc_id, i AS pos, md5(substr(text, i, 40)) AS h

@@ -43,6 +43,7 @@ __all__ = [
     "duplicate_spans",
     "window_hash_index",
     "duplicate_spans_incremental",
+    "cut_spans",
     "release_persisted",
 ]
 
@@ -737,3 +738,62 @@ def duplicate_spans_incremental(
         (F.max("pos") + window - 1).alias("span_end"),
         F.count("*").alias("n_windows"),
     ).drop("g")
+
+
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Apply an ExactSubstr span inventory: remove every [span_start,
+    span_end] char range (1-based inclusive, ``duplicate_spans``'s
+    contract) from each doc's text — the cutting half of Lee et al.'s
+    dedup, downstream of the span finder.
+
+    The cut runs as ONE JVM higher-order ``aggregate`` over the doc's
+    sorted span array (state = (cursor, acc); each span appends the kept
+    gap before it and advances the cursor past it) — no explode of the
+    text, no Python, and the spans array is bounded by spans-per-doc.
+    Docs without spans pass through untouched.  Output: docs with
+    ``text`` replaced by the cut text and ``n_cut_chars`` added.
+    """
+    sp = spans.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_sp")
+    )
+    joined = docs.join(sp, key_col, "left")
+    t = F.col(text_col)
+    # state field types must match the init struct EXACTLY — pin both to
+    # long so int32 (operator-produced) and int64 (external) span tables
+    # both resolve
+    init = F.struct(F.lit(1).cast("long").alias("cur"), F.lit("").alias("acc"))
+
+    def step(st, s):
+        keep = t.substr(
+            st["cur"],
+            F.greatest(s["span_start"].cast("long") - st["cur"], F.lit(0).cast("long")),
+        )
+        return F.struct(
+            F.greatest(s["span_end"].cast("long") + 1, st["cur"]).cast("long").alias("cur"),
+            F.concat(st["acc"], keep).alias("acc"),
+        )
+
+    def fin(st):
+        return F.concat(st["acc"], t.substr(st["cur"], F.length(t) - st["cur"] + 1))
+
+    cut = F.when(F.col("_sp").isNull(), t).otherwise(
+        F.aggregate(F.col("_sp"), init, step, fin)
+    )
+    # materialize the cut under a temp name first: aliasing the cut
+    # expression AS text_col in the same select makes the n_cut_chars
+    # reference resolve against the already-cut column (double cut)
+    tmp = joined.withColumn("_cut", cut)
+    return tmp.select(
+        *[
+            F.col("_cut").alias(c) if c == text_col else F.col(c)
+            for c in docs.columns
+        ],
+        (F.length(text_col) - F.length("_cut")).cast("long").alias("n_cut_chars"),
+    )

@@ -600,3 +600,56 @@ def test_duplicate_spans_matches_python_reference_on_random_corpora(spark):
             for r in duplicate_spans(docs, window=20).collect()
         )
         assert got == reference(texts, 20), (trial, got)
+
+
+def test_cut_spans_removes_exactly_the_inventory(spark):
+    """cut_spans must equal the pure-Python cut (keep everything outside
+    the 1-based inclusive spans), handle multiple/adjacent spans, leave
+    span-free docs untouched, and compose with duplicate_spans so the
+    planted copy disappears from the later doc."""
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.operators.dedup import (
+        cut_spans,
+        duplicate_spans,
+    )
+
+    def py_cut(t, spans):
+        keep, cur = [], 1
+        for a, b in sorted(spans):
+            keep.append(t[cur - 1 : max(a - 1, cur - 1)])
+            cur = max(b + 1, cur)
+        keep.append(t[cur - 1 :])
+        return "".join(keep)
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["abcdefghij", "0123456789", "clean"]}
+        )
+    )
+    spans = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 2, 4, 3), (1, 7, 8, 2), (2, 1, 10, 10)],
+            columns=["doc_id", "span_start", "span_end", "n_windows"],
+        )
+    )
+    got = {r["doc_id"]: (r["text"], r["n_cut_chars"]) for r in cut_spans(docs, spans).collect()}
+    assert got[1] == (py_cut("abcdefghij", [(2, 4), (7, 8)]), 5)
+    assert got[1][0] == "aefij"
+    assert got[2] == ("", 10)  # whole doc is one span
+    assert got[3] == ("clean", 0)
+    # compose with the finder: the later doc's planted copy is removed
+    para = "exactly forty characters of shared text!"
+    assert len(para) == 40
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["first doc holds:" + para, "second doc copies;" + para],
+            }
+        )
+    )
+    spans2 = duplicate_spans(corpus, window=40)
+    cutd = {r["doc_id"]: r["text"] for r in cut_spans(corpus, spans2).collect()}
+    assert cutd[0] == "first doc holds:" + para  # first occurrence kept
+    assert cutd[1] == "second doc copies;"       # copy removed
