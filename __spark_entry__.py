@@ -1963,6 +1963,84 @@ def _ivf_oracle(
     )
 
 
+def _semantic_dedup_oracle(
+    threshold: float = 0.38,
+    n_cells: int = 8,
+    n_iter: int = 3,
+    dim: int = 64,
+    fp_scale: int = 1 << 20,
+) -> str:
+    """DuckDB oracle for semantic_dedup (SemDeDup): the same fixed-point
+    Lloyd training + final-assignment CTEs as ``_ivf_oracle``, then the
+    within-cell pair join with the Spark-precision cosine threshold, the
+    recursive-CTE connected components, and the min-id survivor rule."""
+    efp = (
+        f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {fp_scale})"
+        " AS BIGINT))"
+    )
+    d2 = (
+        "list_sum(list_transform(list_zip(e.efp, c.cent),"
+        " p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    mean_arr = "[" + ", ".join(
+        f"CAST(sum(e.efp[{d + 1}]) // count(*) AS BIGINT)" for d in range(dim)
+    ) + "]"
+    ctes = [
+        f"e AS (SELECT vec_id, {efp} AS efp FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cell, efp AS cent FROM e WHERE vec_id < {n_cells})",
+    ]
+    for t in range(n_iter):
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, cell FROM ("
+            f" SELECT e.vec_id, c.cell,"
+            f" row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cell) AS rn"
+            f" FROM e JOIN c{t} c ON TRUE) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{t} AS (SELECT a.cell, {mean_arr} AS cent"
+            f" FROM a{t} a JOIN e ON e.vec_id = a.vec_id GROUP BY a.cell)"
+        )
+        ctes.append(
+            f"c{t + 1} AS (SELECT p.cell, COALESCE(m.cent, p.cent) AS cent"
+            f" FROM c{t} p LEFT JOIN m{t} m ON m.cell = p.cell)"
+        )
+    ctes.append(
+        f"af AS (SELECT vec_id, cell FROM ("
+        f" SELECT e.vec_id, c.cell,"
+        f" row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cell) AS rn"
+        f" FROM e JOIN c{n_iter} c ON TRUE) WHERE rn = 1)"
+    )
+    ctes.append(
+        f"pairs AS (SELECT x.vec_id AS pa, y.vec_id AS pb"
+        f" FROM af x JOIN af y ON x.cell = y.cell AND x.vec_id < y.vec_id"
+        f" JOIN embeddings a ON a.vec_id = x.vec_id"
+        f" JOIN embeddings b ON b.vec_id = y.vec_id"
+        f" WHERE {_cos_sql()} > {threshold!r}::DOUBLE)"
+    )
+    ctes.append(
+        "edges AS (SELECT pa AS src, pb AS dst FROM pairs"
+        " UNION SELECT pb, pa FROM pairs)"
+    )
+    ctes.append("nodes AS (SELECT DISTINCT src AS n FROM edges)")
+    ctes.append(
+        "reach(n, m) AS (SELECT n, n FROM nodes"
+        " UNION SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src)"
+    )
+    ctes.append(
+        "comp AS (SELECT n AS vec_id, min(m) AS component FROM reach GROUP BY n)"
+    )
+    return (
+        "WITH RECURSIVE " + ",\n ".join(ctes)
+        + """
+        SELECT af.vec_id, CAST(af.cell AS INT) AS cell,
+               coalesce(comp.component, af.vec_id) AS component,
+               CASE WHEN coalesce(comp.component, af.vec_id) = af.vec_id
+                    THEN 1 ELSE 0 END AS is_survivor
+        FROM af LEFT JOIN comp ON comp.vec_id = af.vec_id
+        """
+    )
+
+
 def _score_summary_oracle() -> str:
     """DuckDB oracle for pipeline_score_summary: features re-derived via
     the pipeline_features CTEs, P(non-readable) re-derived by evaluating
@@ -2736,6 +2814,23 @@ def q_dedup_exact_substr(spark, sf):
     )
 
 
+def q_semantic_dedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023) end to end: deterministic fixed-point
+    k-means clusters the embedding space, cosine pairs are compared ONLY
+    within a cell (quadratic in cell size, not corpus size — what makes
+    semantic dedup affordable at 10^12 vectors), connected components
+    over the >0.38 edges, lowest-id representative survives.  The oracle
+    re-derives the whole path: unrolled integer Lloyd (same CTEs as
+    similarity_ivf_topk's), within-cell pairs with the Spark-precision
+    cosine, recursive-CTE components, survivor rule."""
+    from gujarati_readability_pagewise_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    return semantic_dedup(emb, threshold=0.38, n_cells=8, n_iter=3)
+
+
 def q_dedup_cut_text(spark, sf):
     """The CUTTING half of ExactSubstr dedup composed with the finder:
     every duplicate span is removed from its doc's text (global first
@@ -3383,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_substr": q_dedup_exact_substr,
         "dedup_incremental_substr": q_dedup_incremental_substr,
         "dedup_cut_text": q_dedup_cut_text,
+        "semantic_dedup": q_semantic_dedup,
         "sequence_packing": q_sequence_packing,
         "crawl_schedule": q_crawl_schedule,
         "vocab_coverage": q_vocab_coverage,
@@ -3745,6 +3841,7 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 20 AND 40)
         """,
         "pii_scrub_fixpoint": _pii_fixpoint_oracle(),
+        "semantic_dedup": _semantic_dedup_oracle(),
         "dedup_cut_text": """
             WITH wins AS (
               SELECT doc_id, i AS pos, md5(substr(text, i, 40)) AS h

@@ -37,6 +37,7 @@ __all__ = [
     "ivf_topk_deterministic",
     "int8_quantize",
     "quantized_topk",
+    "semantic_dedup",
 ]
 
 
@@ -630,3 +631,77 @@ def lsh_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "c_id", "cos_sim", "rk")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.38,
+    n_cells: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    fp_scale: int = 1 << 20,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup removal via
+    cluster-then-dedup — k-means the embedding space, compare pairs ONLY
+    within a cluster, keep one representative per connected group.
+
+    The cluster step is what makes semantic dedup affordable: the
+    within-cell self-join is quadratic in CELL size, not corpus size
+    (10^12 vectors over 10^5 balanced cells is 10^9 bounded work per
+    cell-pair pass, vs an impossible global cross join).  The quantizer
+    is ``ivf_train_fixedpoint`` — deterministic integer Lloyd, so the
+    cells (and therefore the whole dedup decision) are engine-,
+    partitioning- and retry-independent, and a SQL oracle re-derives the
+    end-to-end result.  Components use min-label propagation, so the
+    representative is simply the lowest id of each duplicate group.
+
+    Output: (id, cell, component, is_survivor) for every vector.
+    """
+    from .components import connected_components
+
+    spark = emb.sparkSession
+    cents = ivf_train_fixedpoint(
+        emb, n_cells, n_iter, id_col, vec_col, dim, fp_scale
+    )
+    cdf = F.broadcast(
+        spark.createDataFrame(sorted(cents.items()), "cell int, cent array<bigint>")
+    )
+    fp = F.expr(_fp_expr(vec_col, dim, fp_scale))
+    assign = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_emb"), fp.alias("efp"))
+        .crossJoin(cdf)
+        .select("_id", "_emb", "cell", _d2_fp(F.col("efp"), F.col("cent")).alias("d2"))
+        .groupBy("_id")
+        .agg(F.min(F.struct("d2", "cell", "_emb")).alias("m"))
+        .select("_id", F.col("m.cell").alias("cell"), F.col("m._emb").alias("_emb"))
+    ).persist()
+    a = assign.select(
+        F.col("_id").alias("a"), F.col("cell"), F.col("_emb").alias("ea")
+    )
+    b = assign.select(
+        F.col("_id").alias("b"), F.col("cell"), F.col("_emb").alias("eb")
+    )
+    edges = (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .filter(cosine(F.col("ea"), F.col("eb"), dim) > threshold)
+        .select("a", "b")
+    )
+    clusters = connected_components(edges)
+    out = (
+        assign.select(F.col("_id").alias(id_col), "cell")
+        .join(clusters.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+        .withColumn(
+            "is_survivor",
+            (F.col(id_col) == F.col("component")).cast("int"),
+        )
+    )
+    assign.unpersist()
+    return out

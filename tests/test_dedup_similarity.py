@@ -653,3 +653,41 @@ def test_cut_spans_removes_exactly_the_inventory(spark):
     cutd = {r["doc_id"]: r["text"] for r in cut_spans(corpus, spans2).collect()}
     assert cutd[0] == "first doc holds:" + para  # first occurrence kept
     assert cutd[1] == "second doc copies;"       # copy removed
+
+
+def test_semantic_dedup_groups_near_vectors_keeps_lowest_id(spark):
+    """SemDeDup: near-identical vectors dedup to the lowest id, distinct
+    vectors all survive, every vector appears exactly once in the audit,
+    and the decision is partitioning-independent."""
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [-1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (3, [0.98, -0.02, 0.0, 0.0]),  # near-dup of 0 and 2
+        (4, [0.0, 1.0, 0.0, 0.0]),     # orthogonal: survives
+        (5, [-0.97, 0.05, 0.0, 0.0]),  # near-dup of 1
+    ]
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+        schema="vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        emb, threshold=0.9, n_cells=2, n_iter=2, dim=4
+    ).collect()}
+    assert len(out) == 6
+    assert out[0]["is_survivor"] == 1
+    assert out[2]["component"] == 0 and out[2]["is_survivor"] == 0
+    assert out[3]["component"] == 0 and out[3]["is_survivor"] == 0
+    assert out[4]["is_survivor"] == 1
+    assert out[5]["component"] == 1 and out[5]["is_survivor"] == 0
+    assert out[1]["is_survivor"] == 1
+    again = {r["vec_id"]: tuple(r) for r in semantic_dedup(
+        emb.repartition(8), threshold=0.9, n_cells=2, n_iter=2, dim=4
+    ).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == again
