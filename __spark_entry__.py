@@ -2814,6 +2814,36 @@ def q_dedup_exact_substr(spark, sf):
     )
 
 
+def q_quality_buckets(spark, sf):
+    """CCNet-style quality bucketing: per SOURCE, documents split into
+    head/middle/tail terciles of the LM-proxy fluency score
+    (bigram_fluency's mean corpus bigram frequency standing in for
+    perplexity), with per-(source, bucket) doc and bigram counts — the
+    partition CCNet publishes so downstream mixing can oversample the
+    head.  ntile ordering is totalized with the doc id, so the bucket
+    assignment is engine-exact."""
+    from gujarati_readability_pagewise_spark.functions.repetition import (
+        bigram_fluency,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    par = spark.sparkContext.defaultParallelism
+    flu = bigram_fluency(docs, n_partitions=par)
+    labeled = flu.join(docs.select("doc_id", "source"), "doc_id")
+    w = W.partitionBy("source").orderBy(
+        F.desc("mean_bigram_count"), F.asc("doc_id")
+    )
+    return (
+        labeled.withColumn("ppl_bucket", F.ntile(3).over(w))
+        .groupBy("source", "ppl_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bigrams").alias("sum_bigrams"),
+        )
+        .orderBy("source", "ppl_bucket")
+    )
+
+
 def q_semantic_dedup(spark, sf):
     """SemDeDup (Abbas et al. 2023) end to end: deterministic fixed-point
     k-means clusters the embedding space, cosine pairs are compared ONLY
@@ -3479,6 +3509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_substr": q_dedup_incremental_substr,
         "dedup_cut_text": q_dedup_cut_text,
         "semantic_dedup": q_semantic_dedup,
+        "quality_buckets": q_quality_buckets,
         "sequence_packing": q_sequence_packing,
         "crawl_schedule": q_crawl_schedule,
         "vocab_coverage": q_vocab_coverage,
@@ -3842,6 +3873,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scrub_fixpoint": _pii_fixpoint_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
+        "quality_buckets": r"""
+            WITH gr AS (
+              SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS gram
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\s+') AS tk
+                    FROM documents),
+                   unnest(range(1, greatest(len(tk) - 1, 0) + 1)) t(i)
+              WHERE len(tk) >= 2),
+                 c AS (
+              SELECT gram, CAST(count(*) AS BIGINT) AS corpus_cnt
+              FROM gr GROUP BY gram),
+                 flu AS (
+              SELECT gr.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(sum(c.corpus_cnt) AS BIGINT) / count(*)::DOUBLE
+                       AS mean_bigram_count
+              FROM gr JOIN c ON c.gram = gr.gram
+              GROUP BY gr.doc_id),
+                 labeled AS (
+              SELECT f.doc_id, f.n_bigrams, f.mean_bigram_count, d.source,
+                     ntile(3) OVER (PARTITION BY d.source
+                       ORDER BY f.mean_bigram_count DESC, f.doc_id ASC)
+                       AS ppl_bucket
+              FROM flu f JOIN documents d USING (doc_id))
+            SELECT source, CAST(ppl_bucket AS INT) AS ppl_bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams
+            FROM labeled GROUP BY 1, 2 ORDER BY source, ppl_bucket
+        """,
         "dedup_cut_text": """
             WITH wins AS (
               SELECT doc_id, i AS pos, md5(substr(text, i, 40)) AS h
