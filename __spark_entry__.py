@@ -2734,7 +2734,9 @@ def q_vocab_coverage(spark, sf):
     cumulative coverage curve (share of all token occurrences captured by
     a k-entry vocab).  Counts aggregate map-side; top-k is a TakeOrdered;
     the cumulative window runs over 100 rows.  Deterministic tie-break on
-    the token string; one long/long division for the coverage."""
+    the token string; one long/long division for the coverage.
+    plan_audit's BNL_JOIN + SINGLE_PART flags are the 1-row total
+    broadcast and the 100-row window — adjudicated-benign by size."""
     from gujarati_readability_pagewise_spark.functions.textstats import (
         vocab_coverage,
     )
@@ -2852,7 +2854,9 @@ def q_semantic_dedup(spark, sf):
     over the >0.38 edges, lowest-id representative survives.  The oracle
     re-derives the whole path: unrolled integer Lloyd (same CTEs as
     similarity_ivf_topk's), within-cell pairs with the Spark-precision
-    cosine, recursive-CTE components, survivor rule."""
+    cosine, recursive-CTE components, survivor rule.  plan_audit's
+    BNL_JOIN flag is the n_cells-row centroid broadcast crossJoin — the
+    same adjudicated-benign shape as similarity_ivf_topk."""
     from gujarati_readability_pagewise_spark.operators.similarity import (
         semantic_dedup,
     )
