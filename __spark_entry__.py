@@ -3160,6 +3160,49 @@ def q_streaming_scd2(spark, sf):
     )
 
 
+def q_streaming_curation(spark, sf):
+    """STREAM ≡ BATCH oracle for incremental corpus curation: documents
+    arrive as a file stream in arbitrary micro-batch order;
+    curate_stream_merge maintains the curated, exactly-deduped corpus via
+    log-append + per-digest-bucket idempotent recompute (foreachBatch, the
+    scd2 merge pattern) — the final kept table must equal the batch
+    curation chain exactly, which DuckDB derives directly (corpus_curation
+    rules + first-global-occurrence per content digest)."""
+    import os
+    import shutil
+    import tempfile
+
+    from gujarati_readability_pagewise_spark.streaming.ingest import (
+        curate_stream_merge,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    root = os.path.join(tempfile.gettempdir(), "graft_curate_scratch")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    state = os.path.join(root, "state")
+    os.makedirs(src, exist_ok=True)
+    docs.repartition(12).write.mode("overwrite").parquet(src)
+    for q in spark.streams.active:
+        if q.name == "graft_stream_curate":
+            q.stop()
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, source string")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    sq = (
+        curate_stream_merge(spark, stream, state)
+        .queryName("graft_stream_curate")
+        .start()
+    )
+    sq.processAllAvailable()
+    sq.stop()
+    return spark.read.parquet(f"{state}/kept").select(
+        "doc_id", "source", F.md5("text").alias("text_md5")
+    )
+
+
 def q_salted_summary(spark, sf):
     """The salted two-stage aggregation under the gate: per-host
     count/sum/avg/min/max of l_quantity over the planted ~30%-hot-host
@@ -3514,6 +3557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cut_text": q_dedup_cut_text,
         "semantic_dedup": q_semantic_dedup,
         "quality_buckets": q_quality_buckets,
+        "streaming_curation": q_streaming_curation,
         "sequence_packing": q_sequence_packing,
         "crawl_schedule": q_crawl_schedule,
         "vocab_coverage": q_vocab_coverage,
@@ -5159,6 +5203,40 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(any_value(fi.n_final), 0) AS n_final
             FROM flags f LEFT JOIN final fi ON fi.source = f.source
             GROUP BY f.source
+        """,
+        "streaming_curation": """
+            WITH scored AS (
+              SELECT doc_id, source, text,
+                     CASE
+                       WHEN (length(text) - length(regexp_replace(text, '[઀-૿]', '', 'g')))::DOUBLE
+                            / greatest(length(text), 1) > 0.3 THEN 'gu'
+                       WHEN (length(text) - length(regexp_replace(text, '[ऀ-ॿ]', '', 'g')))::DOUBLE
+                            / greatest(length(text), 1) > 0.3 THEN 'hi'
+                       WHEN (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
+                            / greatest(length(text), 1) > 0.4 THEN 'en'
+                       ELSE 'und' END AS lang_pred,
+                     least(greatest(
+                       0.4 * (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0
+                                   WHEN length(text) >= 20 THEN 0.5 ELSE 0.0 END)
+                       + 0.4 * ((length(text) - length(regexp_replace(text,
+                              '[A-Za-z઀-૿ऀ-ॿ]', '', 'g')))::DOUBLE / greatest(length(text), 1))
+                       - 0.2 * ((length(text) - length(regexp_replace(text,
+                              '[0-9!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE / greatest(length(text), 1))
+                       + 0.2, 0.0), 1.0) AS q,
+                     length(text) AS n_chars
+              FROM documents),
+                 kept AS (
+              SELECT * FROM scored
+              WHERE lang_pred IN ('gu', 'hi', 'en') AND q >= 0.55
+                AND n_chars BETWEEN 80 AND 20000),
+                 first AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+                                                  ORDER BY doc_id) AS rn
+                FROM kept)
+              WHERE rn = 1)
+            SELECT k.doc_id, k.source, md5(k.text) AS text_md5
+            FROM kept k JOIN first USING (doc_id)
         """,
         "corpus_curation": """
             WITH scored AS (

@@ -31,6 +31,8 @@ __all__ = [
     "stream_extract",
     "scd2_stream_merge",
     "scd2_merge_batch",
+    "curate_stream_merge",
+    "curate_merge_batch",
 ]
 
 
@@ -189,3 +191,87 @@ def scd2_merge_batch(
     hist.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("_bkt").parquet(hist_dir)
+
+
+def curate_stream_merge(
+    spark: SparkSession,
+    docs: DataFrame,
+    state_dir: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    langs: tuple[str, ...] = ("gu", "hi", "en"),
+    min_quality: float = 0.55,
+    length_band: tuple[int, int] = (80, 20000),
+    n_buckets: int = 8,
+):
+    """Incrementally maintain a CURATED, exactly-deduped corpus from a
+    document stream — the streaming face of the corpus_curation chain.
+
+    Same idempotent merge pattern as :func:`scd2_stream_merge` (the
+    warehouse MERGE on plain parquet): every micro-batch APPENDS its raw
+    docs to ``state_dir/log``; the kept set for the TOUCHED digest-hash
+    buckets is recomputed from the accumulated log (curation rules +
+    first-global-occurrence per content digest, min key wins) and written
+    back with dynamic partition overwrite.  Recomputing from the log
+    slice makes the final table independent of micro-batch arrival ORDER
+    and convergent under at-least-once replays — a dropDuplicates-style
+    stateful dedup would pin the winner to arrival order, which a retry
+    can change.  Reads of ``state_dir/kept`` see complete buckets.
+
+    Returns the DataStreamWriter (caller starts/stops it).
+    """
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        curate_merge_batch(
+            spark, batch_df, state_dir, key_col, text_col,
+            langs, min_quality, length_band, n_buckets,
+        )
+
+    return docs.writeStream.foreachBatch(merge)
+
+
+def curate_merge_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_dir: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    langs: tuple[str, ...] = ("gu", "hi", "en"),
+    min_quality: float = 0.55,
+    length_band: tuple[int, int] = (80, 20000),
+    n_buckets: int = 8,
+) -> None:
+    """One merge step of ``curate_stream_merge`` (module-level so tests
+    and backfills drive it directly)."""
+    from ..functions.textstats import lang_id_expr, quality_score_expr
+
+    log_dir = f"{state_dir}/log"
+    kept_dir = f"{state_dir}/kept"
+    bkt = F.pmod(F.xxhash64(F.md5(F.col(text_col))), F.lit(n_buckets))
+    batch_df.write.mode("append").parquet(log_dir)
+    touched = [
+        r["b"] for r in batch_df.select(bkt.alias("b")).distinct().collect()
+    ]  # bounded: ≤ n_buckets
+    if not touched:
+        return
+    log = (
+        spark.read.parquet(log_dir)
+        .withColumn("_bkt", bkt)
+        .filter(F.col("_bkt").isin(touched))
+        .dropDuplicates([key_col])  # replayed appends collapse
+    )
+    kept = (
+        log.withColumn("_lang", lang_id_expr(F.col(text_col)))
+        .withColumn("_q", quality_score_expr(F.col(text_col)))
+        .filter(F.col("_lang").isin(list(langs)))
+        .filter(F.col("_q") >= min_quality)
+        .filter(F.length(text_col).between(*length_band))
+    )
+    first = (
+        kept.groupBy(F.md5(F.col(text_col)).alias("_digest"))
+        .agg(F.min(key_col).alias(key_col))
+        .select(key_col)
+    )
+    out = kept.join(first, key_col, "left_semi").drop("_lang", "_q")
+    out.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("_bkt").parquet(kept_dir)

@@ -291,3 +291,45 @@ def test_stream_extract_epoch_replay_idempotent(spark, stream_src, tmp_path):
     for eid, scored in sorted(replayed.items()):
         scored.write.mode("overwrite").parquet(f"{out}/epoch={eid}")
     assert snap() == before
+
+
+def test_streaming_curation_replay_and_order_free(spark, tmp_path):
+    """Incremental curation: out-of-order micro-batches + whole-input
+    replay must converge to the batch curation chain (first-per-digest,
+    min key wins) with the kept table byte-identical after redelivery."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gujarati_readability_pagewise_spark.streaming.ingest import (
+        curate_merge_batch,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = base.select("doc_id", "text", "source").filter(F.col("doc_id") < 120)
+    dup = docs.filter(F.col("doc_id") == 5).select(
+        (F.col("doc_id") + 500).alias("doc_id"), "text", "source"
+    )
+    all_docs = docs.unionByName(dup)
+    state = str(tmp_path / "state")
+    b1 = all_docs.filter("doc_id % 3 = 2")
+    b2 = all_docs.filter("doc_id % 3 = 0")
+    b3 = all_docs.filter("doc_id % 3 = 1")
+    for b in (b1, b2, b3, b2):  # out of order + replay of b2
+        curate_merge_batch(spark, b, state)
+
+    def snap():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{state}/kept")
+                .select("doc_id", "source")
+                .collect(),
+            )
+        )
+
+    before = snap()
+    kept_ids = {t[0] for t in before}
+    assert 5 in kept_ids and 505 not in kept_ids  # min key wins the digest
+    # whole-input redelivery leaves the table identical
+    curate_merge_batch(spark, all_docs, state)
+    assert snap() == before
