@@ -2816,6 +2816,66 @@ def q_dedup_exact_substr(spark, sf):
     )
 
 
+def q_tpch_q2(spark, sf):
+    """Q2 true form (minimum-cost supplier): the correlated min-subquery
+    over partsupp decorrelated into a per-part min + join-back, with the
+    region-restricted supplier dimension.  The testdata ships no partsupp
+    table, so a DETERMINISTIC derived partsupp stands in: 8 suppliers per
+    part assigned round-robin, supply cost = stable 60-bit hash % 100000
+    in integer cents — both engines derive the identical table, so the
+    whole query is value-checkable.  Dimension side (region⋈nation⋈
+    supplier) broadcasts; the min and join-back shuffle on p_partkey."""
+    part = load_table(spark, sf, "part").filter(
+        F.col("p_size").between(10, 20)
+    )
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    n_supp = sup.count()  # scalar: supplier count is dimension-sized
+    ps = part.select("p_partkey", "p_name").crossJoin(
+        spark.range(8).select(F.col("id").cast("int").alias("i"))
+    ).select(
+        "p_partkey",
+        "p_name",
+        F.pmod(F.col("p_partkey") * 8 + F.col("i"), F.lit(n_supp)).alias(
+            "ps_suppkey"
+        ),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("p_partkey").cast("string"),
+                            F.lit("#ps"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(100000),
+        ).alias("ps_cost_fp"),
+    )
+    eu = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(region), nat["n_regionkey"] == region["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = ps.join(F.broadcast(eu), ps["ps_suppkey"] == eu["s_suppkey"])
+    mins = cand.groupBy("p_partkey").agg(F.min("ps_cost_fp").alias("m"))
+    return (
+        cand.join(mins, "p_partkey")
+        .filter(F.col("ps_cost_fp") == F.col("m"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_cost_fp"
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
 def q_quality_buckets(spark, sf):
     """CCNet-style quality bucketing: per SOURCE, documents split into
     head/middle/tail terciles of the LM-proxy fluency score
@@ -3558,6 +3618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "quality_buckets": q_quality_buckets,
         "streaming_curation": q_streaming_curation,
+        "tpch_q2": q_tpch_q2,
         "sequence_packing": q_sequence_packing,
         "crawl_schedule": q_crawl_schedule,
         "vocab_coverage": q_vocab_coverage,
@@ -5203,6 +5264,36 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(any_value(fi.n_final), 0) AS n_final
             FROM flags f LEFT JOIN final fi ON fi.source = f.source
             GROUP BY f.source
+        """,
+        "tpch_q2": """
+            WITH ps AS (
+              SELECT p.p_partkey, p.p_name,
+                     CAST((p.p_partkey * 8 + t.i)
+                          % (SELECT count(*) FROM supplier) AS BIGINT)
+                       AS ps_suppkey,
+                     ('0x' || substr(md5(p.p_partkey::VARCHAR || '#ps'
+                          || t.i::VARCHAR), 1, 15))::BIGINT % 100000
+                       AS ps_cost_fp
+              FROM part p, unnest([0, 1, 2, 3, 4, 5, 6, 7]) t(i)
+              WHERE p.p_size BETWEEN 10 AND 20),
+                 eu AS (
+              SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+              FROM supplier s
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+              JOIN region r ON r.r_regionkey = n.n_regionkey
+                           AND r.r_name = 'EUROPE'),
+                 cand AS (
+              SELECT ps.p_partkey, ps.p_name, e.s_name, e.s_acctbal,
+                     e.n_name, ps.ps_cost_fp
+              FROM ps JOIN eu e ON e.s_suppkey = ps.ps_suppkey),
+                 mins AS (
+              SELECT p_partkey, min(ps_cost_fp) AS m FROM cand GROUP BY 1)
+            SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey, c.p_name,
+                   CAST(c.ps_cost_fp AS BIGINT) AS ps_cost_fp
+            FROM cand c
+            JOIN mins ON mins.p_partkey = c.p_partkey
+                     AND c.ps_cost_fp = mins.m
+            ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, c.p_partkey
         """,
         "streaming_curation": """
             WITH scored AS (
