@@ -2816,6 +2816,21 @@ def q_dedup_exact_substr(spark, sf):
     )
 
 
+def q_ngram_novelty(spark, sf):
+    """Per-doc 8-gram NOVELTY — the dedup-aware sampling signal: the
+    fraction of a doc's distinct word 8-grams appearing in no other
+    document.  Same distinct (doc, gram) explode as decontamination;
+    doc-frequencies aggregate map-side; one int/int division.  Sub-8-token
+    docs emit zero grams with NULL novelty (no evidence either way)."""
+    from gujarati_readability_pagewise_spark.operators.decontaminate import (
+        ngram_novelty,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    par = spark.sparkContext.defaultParallelism
+    return ngram_novelty(docs, n=8, n_partitions=par)
+
+
 def q_tpch_q2(spark, sf):
     """Q2 true form (minimum-cost supplier): the correlated min-subquery
     over partsupp decorrelated into a per-part min + join-back, with the
@@ -3619,6 +3634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_buckets": q_quality_buckets,
         "streaming_curation": q_streaming_curation,
         "tpch_q2": q_tpch_q2,
+        "ngram_novelty": q_ngram_novelty,
         "sequence_packing": q_sequence_packing,
         "crawl_schedule": q_crawl_schedule,
         "vocab_coverage": q_vocab_coverage,
@@ -5264,6 +5280,29 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(any_value(fi.n_final), 0) AS n_final
             FROM flags f LEFT JOIN final fi ON fi.source = f.source
             GROUP BY f.source
+        """,
+        "ngram_novelty": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+              FROM documents),
+                 g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(arr[i : i + 7], ' ') AS ngram
+              FROM toks, unnest(range(1, greatest(len(arr) - 7, 0) + 1)) t(i)
+              WHERE length(array_to_string(arr[i : i + 7], ' ')) > 0),
+                 dfreq AS (
+              SELECT ngram, count(*) AS df FROM g GROUP BY ngram),
+                 per_doc AS (
+              SELECT g.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_novel
+              FROM g JOIN dfreq d USING (ngram) GROUP BY g.doc_id)
+            SELECT t.doc_id,
+                   coalesce(p.n_grams, 0) AS n_grams,
+                   coalesce(p.n_novel, 0) AS n_novel,
+                   p.n_novel / CAST(p.n_grams AS DOUBLE) AS novelty
+            FROM toks t LEFT JOIN per_doc p USING (doc_id)
         """,
         "tpch_q2": """
             WITH ps AS (

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["word_ngrams", "contaminated_pairs", "decontaminate"]
+__all__ = ["word_ngrams", "contaminated_pairs", "decontaminate", "ngram_novelty"]
 
 
 def word_ngrams(
@@ -84,3 +84,47 @@ def decontaminate(
     )
     flagged = pairs.select(F.col("corpus_id").alias(key_col)).distinct()
     return corpus.join(flagged, key_col, "left_anti")
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 8,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Per-doc n-gram NOVELTY: the fraction of a document's distinct word
+    n-grams that appear in NO other document — the dedup-aware sampling
+    signal (a doc whose 8-grams are mostly corpus-unique carries new
+    content; one whose grams are all shared is boilerplate or a near-dup
+    that slipped past the pair-level dedup).
+
+    Shape: the same distinct (doc, gram) explode the decontamination
+    check uses; gram doc-frequencies aggregate map-side (one row per
+    distinct gram crosses the shuffle); novelty = one int/int division.
+    Docs with fewer than ``n`` tokens emit n_grams = 0, novelty NULL
+    (no evidence either way).  Output: (key, n_grams, n_novel, novelty).
+    """
+    d = docs
+    if n_partitions:
+        d = d.repartition(n_partitions, key_col)
+    g = word_ngrams(d, text_col, key_col, n)
+    df_counts = g.groupBy("ngram").agg(F.count("*").alias("df"))
+    per_doc = (
+        g.join(df_counts, "ngram")
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select(key_col)
+        .join(per_doc, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            (F.col("n_novel") / F.col("n_grams").cast("double")).alias("novelty"),
+        )
+    )
