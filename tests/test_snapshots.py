@@ -56,3 +56,51 @@ def test_scd2_history_collapses_unchanged_fetches(spark):
     assert [(r["version"], r["fp"], r["valid_to"], r["is_current"]) for r in b] == [
         (1, "z", None, 1)
     ]
+
+
+def test_expire_snapshots_keeps_newest_and_current(spark, tmp_path):
+    """Retention GC removes only versions behind the keep window, never
+    the committed pointer's version; reads of the current version are
+    unaffected."""
+    from gujarati_readability_pagewise_spark.plans.snapshots import (
+        expire_snapshots,
+        list_versions,
+        read_latest,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(5):
+        write_snapshot(spark.range(i, i + 10).toDF("id"), t)
+    assert sorted(list_versions(t)) == [1, 2, 3, 4, 5]
+    removed = expire_snapshots(t, keep_n=2)
+    assert removed == [1, 2, 3]
+    assert sorted(list_versions(t)) == [4, 5]
+    assert read_latest(spark, t).count() == 10
+    # keep_n larger than history: no-op
+    assert expire_snapshots(t, keep_n=10) == []
+
+
+def test_compact_snapshot_rewrites_atomically(spark, tmp_path):
+    """Compaction rewrites the current snapshot into few files as a NEW
+    version (old version intact until expired); content identical."""
+    import glob
+
+    from gujarati_readability_pagewise_spark.plans.snapshots import (
+        compact_snapshot,
+        latest_version,
+        read_latest,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    frag = spark.range(0, 1000).repartition(37).toDF("id")
+    v1 = write_snapshot(frag, t)
+    assert len(glob.glob(f"{t}/v={v1}/part-*")) == 37
+    v2 = compact_snapshot(spark, t, target_files=3)
+    assert v2 == v1 + 1 and latest_version(t) == v2
+    assert len(glob.glob(f"{t}/v={v2}/part-*")) <= 3
+    a = sorted(r["id"] for r in read_snapshot(spark, t, v1).collect())
+    b = sorted(r["id"] for r in read_latest(spark, t).collect())
+    assert a == b
