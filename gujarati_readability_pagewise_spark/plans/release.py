@@ -13,8 +13,12 @@ from the operators the gate checks individually:
    verify → connected components on VERIFIED edges → one representative
    per cluster (q_dedup_survivors composition; raw LSH edges would let a
    single false positive glue clusters and over-delete).
-3. **PII scrub** at the fixpoint (adjacent-IP safe) including IPv6.
-4. **Sequence packing**: every surviving doc's coordinates in the
+3. optional **ExactSubstr span cutting** (``cut_spans_window``): the
+   copied paragraphs inside surviving docs are removed (Lee et al.'s
+   second dedup level — document-level near-dup removal above, exact
+   substring removal within).
+4. **PII scrub** at the fixpoint (adjacent-IP safe) including IPv6.
+5. **Sequence packing**: every surviving doc's coordinates in the
    512-token packed concatenation (range-bucketed prefix sum).
 
 Outputs under ``out_root``: ``released/`` (scrubbed survivor docs with
@@ -37,6 +41,8 @@ from ..functions.textstats import lang_id_expr, quality_score_expr
 from ..operators.components import cluster_representatives, connected_components
 from ..operators.dedup import (
     char_shingles,
+    cut_spans,
+    duplicate_spans,
     jaccard_on_candidates_arrays,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -58,6 +64,7 @@ def run_release(
     min_quality: float = 0.55,
     length_band: tuple[int, int] = (80, 20000),
     jaccard_threshold: float = 0.5,
+    cut_spans_window: int | None = None,
     seq_len: int = 512,
     job_id: str | None = None,
 ) -> dict:
@@ -107,12 +114,24 @@ def run_release(
     )
     funnel["n_survivors"] = float(survivors.count())
 
-    # 3. PII scrub at the fixpoint, IPv6 included
+    # 3. optional ExactSubstr cutting inside the surviving docs
+    if cut_spans_window:
+        spans = duplicate_spans(
+            survivors, text_col, key_col, window=cut_spans_window,
+            n_partitions=spark.sparkContext.defaultParallelism,
+        )
+        survivors = cut_spans(survivors, spans, text_col, key_col)
+        funnel["n_span_cut_chars"] = float(
+            survivors.agg(F.sum("n_cut_chars")).first()[0] or 0
+        )
+        survivors = survivors.drop("n_cut_chars")
+
+    # 4. PII scrub at the fixpoint, IPv6 included
     scrubbed = survivors.withColumn(
         text_col, scrub_pii(F.col(text_col), fixpoint=True, ipv6=True)
     )
 
-    # 4. packing coordinates over the released corpus
+    # 5. packing coordinates over the released corpus
     packed = pack_sequences(scrubbed, text_col, key_col, seq_len=seq_len)
     released = scrubbed.join(packed.drop("n_tokens"), key_col)
     released.write.mode("overwrite").parquet(f"{out_root}/released")

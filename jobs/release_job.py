@@ -5,7 +5,7 @@ Usage::
     python tools/package.py
     spark-submit --master <cluster> --py-files dist/engine.zip \
         jobs/release_job.py <docs_parquet_dir> <out_root> \
-        [--seq-len 512] [--jaccard 0.5]
+        [--seq-len 512] [--jaccard 0.5] [--cut-window 40]
 
 Takes the extraction pipeline's scored documents (or any table with
 ``doc_id``/``text``) and produces the training-ready release under
@@ -35,6 +35,7 @@ def main(argv):
         out_root,
         seq_len=_opt(argv, "--seq-len", 512, int),
         jaccard_threshold=_opt(argv, "--jaccard", 0.5, float),
+        cut_spans_window=_opt(argv, "--cut-window", None, int),
     )
     print(
         "RELEASE_RESULT:",

@@ -114,3 +114,32 @@ def test_corpus_release_end_to_end(spark, tmp_path):
     assert a == b
     funnel = {r["stage"]: r["n"] for r in spark.read.parquet(f"{out}/funnel").collect()}
     assert funnel["n_input"] == docs.count()
+
+
+def test_corpus_release_span_cutting_stage(spark, tmp_path):
+    """With cut_spans_window set, a paragraph copied between two
+    otherwise-distinct surviving docs is removed from the later one and
+    the funnel records the cut volume."""
+    from pyspark.sql import functions as F
+
+    from gujarati_readability_pagewise_spark.plans.release import run_release
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = base.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    # plant a 60-char paragraph into two docs far enough apart in content
+    para = "this exact shared paragraph is certainly longer than forty chars."
+    planted = src.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id").isin(7, 23),
+            F.concat(F.col("text"), F.lit(" "), F.lit(para)),
+        ).otherwise(F.col("text")),
+    )
+    out = str(tmp_path / "rel")
+    res = run_release(spark, planted, out, cut_spans_window=40, job_id="rel-cut")
+    assert res.get("n_span_cut_chars", 0) > 0
+    rel = spark.read.parquet(f"{out}/released")
+    kept = {r["doc_id"]: r["text"] for r in rel.collect()}
+    if 7 in kept and 23 in kept:  # both survived doc-level dedup
+        assert para in kept[7]       # first occurrence keeps the paragraph
+        assert para not in kept[23]  # later copy cut
