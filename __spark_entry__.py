@@ -2816,6 +2816,29 @@ def q_dedup_exact_substr(spark, sf):
     )
 
 
+def q_quality_weighted_sample(spark, sf):
+    """Soft quality-weighted sampling (the smooth alternative to a hard
+    quality cut): each doc kept with probability equal to its quality
+    score, decided by an exact integer comparison of a stable key hash
+    against floor(q·10⁶) — deterministic under retries/partitioning and
+    bit-identically re-derivable in SQL, unlike a rand() Bernoulli."""
+    from gujarati_readability_pagewise_spark.functions.textstats import (
+        quality_score_expr,
+    )
+    from gujarati_readability_pagewise_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_score_expr(F.col("text")).alias("q")
+    )
+    kept = quality_weighted_sample(scored, "q", "doc_id")
+    return kept.select(
+        "doc_id", "source", F.floor(F.col("q") * 1000000).cast("long").alias("q_fp")
+    )
+
+
 def q_ngram_novelty(spark, sf):
     """Per-doc 8-gram NOVELTY — the dedup-aware sampling signal: the
     fraction of a doc's distinct word 8-grams appearing in no other
@@ -3635,6 +3658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_curation": q_streaming_curation,
         "tpch_q2": q_tpch_q2,
         "ngram_novelty": q_ngram_novelty,
+        "quality_weighted_sample": q_quality_weighted_sample,
         "sequence_packing": q_sequence_packing,
         "crawl_schedule": q_crawl_schedule,
         "vocab_coverage": q_vocab_coverage,
@@ -5280,6 +5304,26 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(any_value(fi.n_final), 0) AS n_final
             FROM flags f LEFT JOIN final fi ON fi.source = f.source
             GROUP BY f.source
+        """,
+        "quality_weighted_sample": """
+            WITH scored AS (
+              SELECT doc_id, source,
+                     least(greatest(
+                       0.4 * (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0
+                                   WHEN length(text) >= 20 THEN 0.5 ELSE 0.0 END)
+                       + 0.4 * ((length(text) - length(regexp_replace(text,
+                              '[A-Za-z઀-૿ऀ-ॿ]', '', 'g')))::DOUBLE / greatest(length(text), 1))
+                       - 0.2 * ((length(text) - length(regexp_replace(text,
+                              '[0-9!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE / greatest(length(text), 1))
+                       + 0.2, 0.0), 1.0) AS q
+              FROM documents)
+            SELECT doc_id, source,
+                   CAST(floor(q * 1000000) AS BIGINT) AS q_fp
+            FROM scored
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#q0'), 1, 15))::BIGINT
+                    % 1000000
+                  < least(greatest(CAST(floor(q * 1000000) AS BIGINT), 0),
+                          1000000)
         """,
         "ngram_novelty": """
             WITH toks AS (

@@ -25,6 +25,7 @@ __all__ = [
     "stratified_fixed_n",
     "mixture_sample",
     "crawl_schedule",
+    "quality_weighted_sample",
 ]
 
 
@@ -157,3 +158,34 @@ def crawl_schedule(
         "sched_offset_s",
         ((F.col("slot") - 1) * min_interval_s).cast("long"),
     )
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    score_col: str,
+    key_col: str,
+    scale: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Soft quality-weighted sampling: keep each row with probability
+    ``clamp(score·scale, 0, 1)`` — the smooth alternative to a hard
+    quality threshold (a 0.54-quality doc survives 54% of the time
+    instead of never), the shape quality-weighted corpus recipes use to
+    keep the distribution's tail without letting it dominate.
+
+    The coin flip is ``stable_hash(key) % 10^6 < floor(p·10^6)`` — a
+    pure function of the ROW, so the kept set is deterministic under
+    retries/repartitioning and exactly re-derivable in SQL (a ``rand()``
+    Bernoulli sample would be neither).  Exact integer comparison: no
+    float rounding can flip a decision between engines.
+    """
+    p_fp = F.least(
+        F.greatest(
+            F.floor(F.col(score_col) * scale * 1000000).cast("long"), F.lit(0)
+        ),
+        F.lit(1000000),
+    )
+    draw = F.pmod(
+        stable_order(F.col(key_col), seed), F.lit(1000000)
+    )
+    return df.filter(draw < p_fp)
