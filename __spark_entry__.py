@@ -2729,6 +2729,58 @@ def q_volume_anomalies(spark, sf):
     )
 
 
+def q_streaming_anomalies(spark, sf):
+    """STREAM ≡ BATCH oracle for the monitoring surface: the planted-burst
+    event feed arrives as a file stream in arbitrary micro-batch order;
+    monitor_stream_merge maintains the anomaly table via log-append +
+    per-key idempotent recompute (foreachBatch), and the final table must
+    equal the batch volume_anomalies derivation exactly — late buckets
+    repair trailing windows the way only recompute-from-log can."""
+    import os
+    import shutil
+    import tempfile
+
+    from gujarati_readability_pagewise_spark.streaming.ingest import (
+        monitor_stream_merge,
+    )
+
+    ev = load_table(spark, sf, "events")
+    burst = ev.filter(F.col("event_id") % 7 == 0).select(
+        (F.col("event_id") + 10000000).alias("event_id"),
+        F.lit("2024-01-20 03:00:07").cast("timestamp").alias("ts"),
+        F.lit("click").alias("event_type"),
+    )
+    planted = ev.select("event_id", "ts", "event_type").unionByName(burst)
+    root = os.path.join(tempfile.gettempdir(), "graft_monitor_scratch")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    state = os.path.join(root, "state")
+    os.makedirs(src, exist_ok=True)
+    planted.repartition(12).write.mode("overwrite").parquet(src)
+    for q in spark.streams.active:
+        if q.name == "graft_stream_monitor":
+            q.stop()
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    sq = (
+        monitor_stream_merge(
+            spark, stream, state, bucket_seconds=21600, trailing=20,
+            k=3, min_trailing=8,
+        )
+        .queryName("graft_stream_monitor")
+        .start()
+    )
+    sq.processAllAvailable()
+    sq.stop()
+    return spark.read.parquet(f"{state}/anomalies").select(
+        "key", "bucket_start", "n", "w_cnt", "sum_prior", "sumsq_prior",
+        "is_anomaly",
+    )
+
+
 def q_vocab_coverage(spark, sf):
     """Tokenizer-budget analysis: top-100 corpus vocabulary with the
     cumulative coverage curve (share of all token occurrences captured by
@@ -3663,6 +3715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": q_crawl_schedule,
         "vocab_coverage": q_vocab_coverage,
         "volume_anomalies": q_volume_anomalies,
+        "streaming_anomalies": q_streaming_anomalies,
         # -- LLM-pipeline core (driver-witnessed r3) --
         "pipeline_extract": q_pipeline_extract,
         "pipeline_features": q_pipeline_features,
@@ -4146,6 +4199,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id >= 350
         """,
         "volume_anomalies": """
+            WITH planted AS (
+              SELECT ts, event_type FROM events
+              UNION ALL
+              SELECT TIMESTAMP '2024-01-20 03:00:07' AS ts,
+                     'click' AS event_type
+              FROM events WHERE event_id % 7 = 0),
+                 counts AS (
+              SELECT event_type AS key,
+                     CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600
+                       AS bucket_start,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM planted GROUP BY 1, 2),
+                 win AS (
+              SELECT key, bucket_start, n,
+                     CAST(count(n) OVER w AS BIGINT) AS w_cnt,
+                     CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS sum_prior,
+                     CAST(coalesce(sum(n * n) OVER w, 0) AS BIGINT)
+                       AS sumsq_prior
+              FROM counts
+              WINDOW w AS (PARTITION BY key ORDER BY bucket_start
+                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+            SELECT key, bucket_start, n, w_cnt, sum_prior, sumsq_prior,
+                   CASE WHEN w_cnt >= 8
+                         AND w_cnt * n > sum_prior
+                         AND (w_cnt * n - sum_prior) * (w_cnt * n - sum_prior)
+                             > 9 * (w_cnt * sumsq_prior
+                                    - sum_prior * sum_prior)
+                        THEN 1 ELSE 0 END AS is_anomaly
+            FROM win
+        """,
+        "streaming_anomalies": """
             WITH planted AS (
               SELECT ts, event_type FROM events
               UNION ALL

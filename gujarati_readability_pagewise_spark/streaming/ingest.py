@@ -33,6 +33,7 @@ __all__ = [
     "scd2_merge_batch",
     "curate_stream_merge",
     "curate_merge_batch",
+    "monitor_stream_merge",
 ]
 
 
@@ -275,3 +276,58 @@ def curate_merge_batch(
     out.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("_bkt").parquet(kept_dir)
+
+
+def monitor_stream_merge(
+    spark: SparkSession,
+    events: DataFrame,
+    state_dir: str,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    bucket_seconds: int = 3600,
+    trailing: int = 24,
+    k: int = 3,
+    min_trailing: int = 8,
+):
+    """Incrementally maintain the crawl-volume anomaly table from an
+    event stream — the streaming face of operators/monitor.
+
+    Same idempotent merge pattern as the SCD2/curation merges: every
+    micro-batch APPENDS raw events to ``state_dir/log``; the anomaly
+    rows for the KEYS touched in this batch are recomputed from the
+    accumulated log with the batch ``volume_anomalies`` operator and
+    written back with dynamic partition overwrite on the key.  A late or
+    replayed bucket therefore lands in the right trailing window and
+    flips flags exactly as a batch recomputation would — stateful
+    incremental z-scores could not repair history after late data.
+    Recompute cost is bounded by the touched keys' retained log, which a
+    production deployment trims to the monitoring horizon.
+
+    Returns the DataStreamWriter (caller starts/stops it).
+    """
+    from ..operators.monitor import volume_anomalies
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        log_dir = f"{state_dir}/log"
+        out_dir = f"{state_dir}/anomalies"
+        b = batch_df.select(id_col, ts_col, key_col)
+        b.write.mode("append").parquet(log_dir)
+        touched = [
+            r["k"] for r in b.select(F.col(key_col).alias("k")).distinct().collect()
+        ]  # bounded: one row per event key
+        if not touched:
+            return
+        log = (
+            spark.read.parquet(log_dir)
+            .filter(F.col(key_col).isin(touched))
+            .dropDuplicates([id_col])  # replayed appends collapse
+        )
+        out = volume_anomalies(
+            log, ts_col, key_col, bucket_seconds, trailing, k, min_trailing
+        ).withColumn("_k", F.col("key"))
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_k").parquet(out_dir)
+
+    return events.writeStream.foreachBatch(merge)

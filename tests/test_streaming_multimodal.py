@@ -333,3 +333,62 @@ def test_streaming_curation_replay_and_order_free(spark, tmp_path):
     # whole-input redelivery leaves the table identical
     curate_merge_batch(spark, all_docs, state)
     assert snap() == before
+
+
+def test_monitor_merge_late_bucket_repairs_windows(spark, tmp_path):
+    """The anomaly merge must repair trailing windows when a LATE bucket
+    arrives (recompute-from-log semantics): after all deliveries —
+    including out-of-order and replayed batches — the table equals the
+    batch derivation over the full feed."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gujarati_readability_pagewise_spark.operators.monitor import (
+        volume_anomalies,
+    )
+    from gujarati_readability_pagewise_spark.streaming.ingest import (
+        monitor_stream_merge,
+    )
+
+    rows = []
+    base = 1_700_000_000
+    eid = 0
+    for h in range(40):
+        per = 12 if h != 30 else 600
+        for i in range(per):
+            rows.append((eid, pd.Timestamp(base + h * 3600 + i, unit="s"), "feed"))
+            eid += 1
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "ts", "event_type"])
+    )
+    want = sorted(
+        map(tuple, volume_anomalies(ev, trailing=24).collect())
+    )
+    state = str(tmp_path / "state")
+    # deliveries: the late hours FIRST, then the early history, then a
+    # replayed overlapping slice — each driven through the real stream
+    batches = [
+        ev.filter("event_id >= 246"),               # late/out-of-order first
+        ev.filter("event_id < 246"),
+        ev.filter("event_id BETWEEN 100 AND 400"),  # replay slice
+    ]
+    for i, b in enumerate(batches):
+        src = str(tmp_path / f"src{i}")
+        b.write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("event_id bigint, ts timestamp, event_type string")
+            .parquet(src)
+        )
+        q = monitor_stream_merge(spark, stream, state, trailing=24).start()
+        q.processAllAvailable()
+        q.stop()
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{state}/anomalies")
+            .select("key", "bucket_start", "n", "w_cnt", "sum_prior",
+                    "sumsq_prior", "is_anomaly")
+            .collect(),
+        )
+    )
+    assert got == want
