@@ -660,6 +660,7 @@ def semantic_dedup(
     Output: (id, cell, component, is_survivor) for every vector.
     """
     from .components import connected_components
+    from .dedup import _persist
 
     spark = emb.sparkSession
     cents = ivf_train_fixedpoint(
@@ -676,7 +677,13 @@ def semantic_dedup(
         .groupBy("_id")
         .agg(F.min(F.struct("d2", "cell", "_emb")).alias("m"))
         .select("_id", F.col("m.cell").alias("cell"), F.col("m._emb").alias("_emb"))
-    ).persist()
+    )
+    # registered persist (dedup._PERSISTED): the returned plan references
+    # the assignment on three paths (both pair sides + the audit join), so
+    # it must stay cached until the caller's action; release_persisted()
+    # / clearCache() frees it afterwards — an eager unpersist here would
+    # silently recompute the k-means assignment three times
+    assign = _persist(assign)
     a = assign.select(
         F.col("_id").alias("a"), F.col("cell"), F.col("_emb").alias("ea")
     )
@@ -703,5 +710,4 @@ def semantic_dedup(
             (F.col(id_col) == F.col("component")).cast("int"),
         )
     )
-    assign.unpersist()
     return out
