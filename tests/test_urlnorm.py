@@ -39,3 +39,67 @@ def test_schemeless_urls_pass_through_unchanged(spark):
 
 def test_query_only_tracking_params_drops_question_mark(spark):
     assert _canon(spark, ["https://h.com/p?utm_x=1&gclid=2"]) == ["https://h.com/p"]
+
+
+def test_langid_quality_dialect_parity_randomized(spark):
+    """The lang-id / quality regex fragments are load-bearing in four
+    oracles (corpus_curation, curation_funnel, streaming_curation,
+    quality_weighted_sample): 300 seeded random mixed-script strings must
+    produce identical lang_pred and floor(q*1e6) under Spark (Java regex)
+    and DuckDB (RE2)."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from gujarati_readability_pagewise_spark.functions.textstats import (
+        lang_id_expr,
+        quality_score_expr,
+    )
+
+    rng = random.Random(1234)
+    frags = [
+        "ગુજરાતી લખાણ અહીં", "देवनागरी पाठ", "plain english words",
+        "1234567890", "!!!???***", "    ", "a", "ં", "ઁ", "ॿ", "૿",
+        "mixed ગુજરાતી and english", "।॥", "e@x.io", "[-`{~",
+        "ABCxyz", "\t\n", "٠١٢", "中文字符", "ß", "İstanbul",
+    ]
+    texts = []
+    for _ in range(300):
+        n = rng.randint(0, 10)
+        texts.append("".join(rng.choice(frags) for _ in range(n)))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    got = {
+        r["i"]: (r["lang"], r["qfp"])
+        for r in df.select(
+            "i",
+            lang_id_expr(F.col("text")).alias("lang"),
+            F.floor(quality_score_expr(F.col("text")) * 1000000)
+            .cast("long")
+            .alias("qfp"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    sql = """
+        SELECT CASE
+                 WHEN (length(?) - length(regexp_replace(?, '[઀-૿]', '', 'g')))::DOUBLE
+                      / greatest(length(?), 1) > 0.3 THEN 'gu'
+                 WHEN (length(?) - length(regexp_replace(?, '[ऀ-ॿ]', '', 'g')))::DOUBLE
+                      / greatest(length(?), 1) > 0.3 THEN 'hi'
+                 WHEN (length(?) - length(regexp_replace(?, '[A-Za-z]', '', 'g')))::DOUBLE
+                      / greatest(length(?), 1) > 0.4 THEN 'en'
+                 ELSE 'und' END,
+               CAST(floor(least(greatest(
+                 0.4 * (CASE WHEN length(?) BETWEEN 100 AND 20000 THEN 1.0
+                             WHEN length(?) >= 20 THEN 0.5 ELSE 0.0 END)
+                 + 0.4 * ((length(?) - length(regexp_replace(?,
+                        '[A-Za-z઀-૿ऀ-ॿ]', '', 'g')))::DOUBLE / greatest(length(?), 1))
+                 - 0.2 * ((length(?) - length(regexp_replace(?,
+                        '[0-9!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE / greatest(length(?), 1))
+                 + 0.2, 0.0), 1.0) * 1000000) AS BIGINT)
+    """
+    for i, t in enumerate(texts):
+        want = con.execute(sql, [t] * 17).fetchone()
+        assert got[i] == want, (i, repr(t), got[i], want)
