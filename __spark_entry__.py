@@ -2751,7 +2751,7 @@ def q_streaming_anomalies(spark, sf):
         F.lit("click").alias("event_type"),
     )
     planted = ev.select("event_id", "ts", "event_type").unionByName(burst)
-    root = os.path.join(tempfile.gettempdir(), "graft_monitor_scratch")
+    root = os.path.join(tempfile.gettempdir(), f"graft_monitor_scratch_{os.getpid()}")
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     state = os.path.join(root, "state")
@@ -3277,12 +3277,14 @@ def q_streaming_scd2(spark, sf):
         ).alias("fetch_ts"),
         F.md5(content).alias("fp"),
     )
-    # Fixed per-process scratch root, wiped on every invocation: repeated
-    # gate/bench runs reuse (not accumulate) temp disk, and the log dir
-    # cannot grow across re-runs.  The returned DataFrame lazily reads
-    # {state}/history, so cleanup happens at the NEXT call, after the
-    # driver has collected this one.
-    root = os.path.join(tempfile.gettempdir(), "graft_scd2_scratch")
+    # Fixed per-PROCESS scratch root (pid-suffixed), wiped on every
+    # invocation: repeated gate/bench runs reuse (not accumulate) temp
+    # disk and the log dir cannot grow across re-runs, while concurrent
+    # processes (bench + a gate run) cannot clobber each other's live
+    # streaming state the way one shared fixed root would.  The returned
+    # DataFrame lazily reads {state}/history, so cleanup happens at the
+    # NEXT call in this process, after the driver has collected this one.
+    root = os.path.join(tempfile.gettempdir(), f"graft_scd2_scratch_{os.getpid()}")
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     state = os.path.join(root, "state")
@@ -3327,7 +3329,7 @@ def q_streaming_curation(spark, sf):
     )
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
-    root = os.path.join(tempfile.gettempdir(), "graft_curate_scratch")
+    root = os.path.join(tempfile.gettempdir(), f"graft_curate_scratch_{os.getpid()}")
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     state = os.path.join(root, "state")

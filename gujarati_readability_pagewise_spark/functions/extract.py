@@ -246,12 +246,15 @@ def extract_text(html: bytes | None) -> ExtractResult:
     # ASCII-only case gate, checked on the BYTES (bytes.islower is an
     # ASCII C loop, ~5x cheaper than str.islower's Unicode scan): tag
     # names are case-insensitive over ASCII ONLY, so the case-sensitive
-    # twins are correct whenever the document has no ASCII uppercase —
-    # non-ASCII cased chars (which str.islower would flag) must NOT force
-    # the IGNORECASE path, whose Unicode folding would wrongly match e.g.
-    # LATIN SMALL LONG S in a tag name.  NFC cannot introduce ASCII
-    # uppercase, so the byte-level check is valid for the NFC'd string.
-    blocks = _segment(s, html.islower())
+    # twins are correct whenever the NFC'd document has no ASCII
+    # uppercase — non-ASCII cased chars (which str.islower would flag)
+    # must NOT force the IGNORECASE path, whose Unicode folding would
+    # wrongly match e.g. LATIN SMALL LONG S in a tag name.  One exotic
+    # exception: U+212A KELVIN SIGN is the single codepoint whose NFC
+    # form IS an ASCII uppercase letter ('K'), so its UTF-8 bytes
+    # (E2 84 AA) are excluded explicitly — every other canonical
+    # composition maps outside ASCII.
+    blocks = _segment(s, html.islower() and b"\xe2\x84\xaa" not in html)
     keep = _classify(blocks)
     spans = [b[0] for b, k in zip(blocks, keep) if k]
     if not spans:

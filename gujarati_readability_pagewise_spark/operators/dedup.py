@@ -698,14 +698,15 @@ def duplicate_spans_incremental(
         F.length(text_col) >= window,
         F.sequence(F.lit(1), F.length(text_col) - window + 1),
     ).otherwise(F.array().cast("array<int>"))
-    wins = d.select(
-        key_col, F.col(text_col), F.explode(seq).alias("pos")
-    ).select(
-        key_col,
-        "pos",
-        F.md5(F.col(text_col).substr(F.col("pos"), F.lit(window))).alias("h"),
-    )
-    j = _persist(wins.join(index.select("h"), "h", "left_semi"))
+    wins = _persist(
+        d.select(key_col, F.col(text_col), F.explode(seq).alias("pos")).select(
+            key_col,
+            "pos",
+            F.md5(F.col(text_col).substr(F.col("pos"), F.lit(window))).alias("h"),
+        )
+    )  # the per-character window explode feeds BOTH the semi (dup-vs-
+    # corpus) and anti (fresh) branches — cache it, not a branch output
+    j = wins.join(index.select("h"), "h", "left_semi")
     fresh = wins.join(index.select("h"), "h", "left_anti")
     firsts = fresh.groupBy("h").agg(
         F.min(F.struct(key_col, "pos")).alias("first"),

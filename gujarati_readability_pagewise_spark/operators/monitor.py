@@ -10,11 +10,17 @@ cross-engine gate can verify them EXACTLY: counts are integers, and the
 |x − mean| > k·std rule is cross-multiplied to kill both the division
 and the sqrt::
 
-    (W·x − Σ)²  >  k² · (W·Σx² − Σ²)          -- all BIGINT arithmetic
+    (W·x − Σ)²  >  k² · (W·Σx² − Σ²)          -- exact integer arithmetic
 
-where Σ/Σx² run over the W trailing buckets.  Both sides are exact
-integers, so the flag is bit-identical across engines and partitionings
-— a float z-score would drift in the variance's summation order.
+where Σ/Σx² run over the W trailing buckets.  The squared terms can
+exceed 64 bits once a (key, bucket) count passes ~10^8 — exactly the
+hot keys the monitor exists for — so the COMPARISON is evaluated in
+128-bit integers (Spark DECIMAL(38,0), DuckDB HUGEINT: exact up to
+counts ~10^18), while the emitted columns stay BIGINT.  Both sides are
+exact integers, so the flag is bit-identical across engines and
+partitionings — a float z-score would drift in the variance's summation
+order, and 64-bit arithmetic would crash (ANSI) or silently wrap the
+flag off on the burst it should report.
 
 Scale shape: one hash aggregation to the (key, bucket) counts (map-side
 combinable; the bucket count table is ~|keys|·|hours|, tiny relative to
@@ -64,11 +70,19 @@ def volume_anomalies(
     prior_sumsq = F.coalesce(F.sum(F.col("n") * F.col("n")).over(w), F.lit(0)).cast(
         "long"
     )
-    lhs = (prior_n * F.col("n") - prior_sum)
+    # 128-bit comparison (see module docstring): widen BEFORE multiplying.
+    # The flag's Σx² is summed in decimal directly — the BIGINT sumsq audit
+    # column itself saturates once W·n² passes 2^63 (documented bound), but
+    # the flag must stay exact beyond it.
+    d = lambda c: c.cast("decimal(38,0)")
+    sumsq_d = F.coalesce(
+        F.sum(d(F.col("n")) * d(F.col("n"))).over(w), F.lit(0).cast("decimal(38,0)")
+    )
+    lhs = d(prior_n) * d(F.col("n")) - d(prior_sum)
     flag = (
         (prior_n >= min_trailing)
         & (prior_n * F.col("n") > prior_sum)  # one-sided: burst only
-        & (lhs * lhs > k * k * (prior_n * prior_sumsq - prior_sum * prior_sum))
+        & (lhs * lhs > k * k * (d(prior_n) * sumsq_d - d(prior_sum) * d(prior_sum)))
     )
     return counts.select(
         "key",

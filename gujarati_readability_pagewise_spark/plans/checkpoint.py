@@ -76,25 +76,28 @@ def run_checkpointed(
 
     ``transform_id`` names the transform configuration (e.g. ``scrub=True``)
     and is stored per manifest row; resuming into a manifest written under a
-    DIFFERENT transform_id fails fast instead of silently producing a mixed
-    corpus where completed buckets carry the old configuration's output.
-    Manifests from before this field (NULL) are treated as ``""``.
+    DIFFERENT recorded transform_id fails fast instead of silently producing
+    a mixed corpus where completed buckets carry the old configuration's
+    output.  Unrecorded ids — legacy manifests written before this field
+    (NULL) and callers passing the default ``""`` — are treated as
+    unverifiable-but-compatible: a legacy half-finished run stays resumable
+    (the guard cannot prove a mismatch that was never recorded).
 
     ``fail_after`` (tests only) aborts after N groups to simulate a crash.
     """
     spark = pages.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     prior = {
-        r["transform_id"] or ""
+        r["transform_id"]
         for r in read_manifest(spark, manifest_dir)
         .select("transform_id")
         .distinct()
         .collect()  # bounded: one row per distinct config ever written
-    }
-    if prior - {transform_id}:
+    } - {None, ""}  # unrecorded ids cannot prove a mismatch
+    if prior and transform_id and prior != {transform_id}:
         raise ValueError(
             f"manifest at {manifest_dir} was written with transform_id="
-            f"{sorted(prior - {transform_id})!r}; resuming with "
+            f"{sorted(prior)!r}; resuming with "
             f"{transform_id!r} would mix configurations — use a fresh "
             "out_root/manifest or re-run with the original settings"
         )

@@ -111,7 +111,7 @@ def run_release(
     audit = cluster_representatives(clusters, cur.select(key_col, F.length(text_col).alias("n_chars")))
     survivors = cur.join(
         audit.filter(F.col("is_survivor") == 1).select(key_col), key_col, "left_semi"
-    )
+    ).persist()  # consumed by count + optional cutting + scrub/write/packing
     funnel["n_survivors"] = float(survivors.count())
 
     # 3. optional ExactSubstr cutting inside the surviving docs
@@ -126,10 +126,13 @@ def run_release(
         )
         survivors = survivors.drop("n_cut_chars")
 
-    # 4. PII scrub at the fixpoint, IPv6 included
+    # 4. PII scrub at the fixpoint, IPv6 included; persisted because the
+    # packing prefix-sum takes two driver actions (approxQuantile + bucket
+    # sums) and the released write is a third — without the persist the
+    # whole curation+dedup chain re-executes per action
     scrubbed = survivors.withColumn(
         text_col, scrub_pii(F.col(text_col), fixpoint=True, ipv6=True)
-    )
+    ).persist()
 
     # 5. packing coordinates over the released corpus
     packed = pack_sequences(scrubbed, text_col, key_col, seq_len=seq_len)
@@ -151,5 +154,7 @@ def run_release(
     funnel["wall_sec"] = time.time() - t0
     write_metrics(spark, funnel, job_id, f"{out_root}/metrics")
     cur.unpersist()
+    survivors.unpersist()
+    scrubbed.unpersist()
     release_persisted()
     return {"job_id": job_id, **funnel}

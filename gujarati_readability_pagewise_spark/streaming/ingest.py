@@ -258,7 +258,12 @@ def curate_merge_batch(
         spark.read.parquet(log_dir)
         .withColumn("_bkt", bkt)
         .filter(F.col("_bkt").isin(touched))
-        .dropDuplicates([key_col])  # replayed appends collapse
+        # collapse replayed appends on (key, text): identical re-deliveries
+        # dedup deterministically, while a re-crawled key with NEW text is
+        # a distinct content version that flows on to the digest dedup
+        # (docs are expected content-addressed / append-only; a mutable-id
+        # feed should run through the SCD2 merge first)
+        .dropDuplicates([key_col, text_col])
     )
     kept = (
         log.withColumn("_lang", lang_id_expr(F.col(text_col)))

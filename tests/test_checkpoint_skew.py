@@ -95,6 +95,24 @@ def test_resume_with_changed_transform_id_fails_fast(spark, pages_df, dirs):
     assert n2 == 4
 
 
+def test_resume_of_legacy_unrecorded_manifest_is_allowed(spark, pages_df, dirs):
+    """A manifest whose rows carry no transform_id (legacy/default "")
+    cannot prove a mismatch, so resuming it with a NEW recorded id must
+    succeed — hard-failing would strand every pre-field half-finished run."""
+    out, man = dirs
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_checkpointed(
+            pages_df, _transform, out, man,
+            n_buckets=8, buckets_per_job=2, job_id="t5a", fail_after=4,
+        )  # default transform_id="" -> unrecorded
+    n2 = run_checkpointed(
+        pages_df, _transform, out, man,
+        n_buckets=8, buckets_per_job=2, job_id="t5b",
+        transform_id="scrub=False",
+    )
+    assert n2 == 4
+
+
 def test_transform_kernel_runs_once_per_row(spark, pages_df, dirs):
     """Manifest stats must come from reading the written buckets back,
     never from re-running the transform: the kernel sees each input row

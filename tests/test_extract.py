@@ -150,3 +150,19 @@ def test_factored_block_split_equals_flat_alternation():
     for c in cases:
         assert flat.split(c) == fact.split(c), c
         assert flat_cs.split(c) == fact_cs.split(c), c
+
+
+def test_kelvin_sign_forces_ignorecase_path():
+    """U+212A KELVIN SIGN is the one codepoint whose NFC form is an ASCII
+    uppercase letter ('K'): a tag spelled with it must still be treated
+    as a block boundary (the byte-level lowercase gate excludes it)."""
+    from gujarati_readability_pagewise_spark.functions.extract import extract_text
+
+    body = "enough plain words to keep this paragraph in the output today"
+    tail = "the quoted block also carries enough words to be kept whole"
+    html = (f"<p>{body}</p><blocKquote>{tail}</blocKquote>").encode("utf-8")
+    r = extract_text(html)
+    assert r.status == "ok"
+    assert "<" not in r.text  # the Kelvin-spelled tag did not leak through
+    assert body in r.text and tail in r.text
+    assert len(r.spans) == 2  # blockquote recognized as its own block
