@@ -2868,6 +2868,41 @@ def q_dedup_exact_substr(spark, sf):
     )
 
 
+def q_interval_join(spark, sf):
+    """Range-containment join via time-bucket alignment — the join shape
+    a raw BETWEEN predicate turns into a quadratic nested loop: per-user
+    2-day windows (opened at each user's first event) joined to ALL
+    events falling inside them.  Each point hashes to one bucket, each
+    interval explodes into its overlapped buckets, the join is an
+    equi-join on the bucket with the exact BETWEEN as a post-filter;
+    the oracle is the plain BETWEEN join."""
+    from gujarati_readability_pagewise_spark.operators.asof import (
+        interval_join_bucketed,
+    )
+
+    ev = load_table(spark, sf, "events")
+    intervals = ev.groupBy(F.col("user_id").alias("win_user")).agg(
+        F.min("ts").alias("start_ts")
+    ).select(
+        "win_user",
+        "start_ts",
+        (F.col("start_ts") + F.expr("INTERVAL 2 DAYS")).alias("end_ts"),
+    )
+    joined = interval_join_bucketed(
+        ev.select("event_id", "ts", "event_type"),
+        intervals,
+        bucket_seconds=86400,
+    )
+    return (
+        joined.groupBy("win_user")
+        .agg(
+            F.count("*").alias("n_events_in_window"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+        )
+        .orderBy("win_user")
+    )
+
+
 def q_quality_weighted_sample(spark, sf):
     """Soft quality-weighted sampling (the smooth alternative to a hard
     quality cut): each doc kept with probability equal to its quality
@@ -3713,6 +3748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2": q_tpch_q2,
         "ngram_novelty": q_ngram_novelty,
         "quality_weighted_sample": q_quality_weighted_sample,
+        "interval_join": q_interval_join,
         "sequence_packing": q_sequence_packing,
         "crawl_schedule": q_crawl_schedule,
         "vocab_coverage": q_vocab_coverage,
@@ -5390,6 +5426,18 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(any_value(fi.n_final), 0) AS n_final
             FROM flags f LEFT JOIN final fi ON fi.source = f.source
             GROUP BY f.source
+        """,
+        "interval_join": """
+            WITH intervals AS (
+              SELECT user_id AS win_user, min(ts) AS start_ts,
+                     min(ts) + INTERVAL 2 DAY AS end_ts
+              FROM events GROUP BY user_id)
+            SELECT i.win_user,
+                   CAST(count(*) AS BIGINT) AS n_events_in_window,
+                   CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types
+            FROM intervals i
+            JOIN events e ON e.ts >= i.start_ts AND e.ts <= i.end_ts
+            GROUP BY i.win_user ORDER BY i.win_user
         """,
         "quality_weighted_sample": """
             WITH scored AS (

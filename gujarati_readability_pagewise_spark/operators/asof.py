@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["dedupe_latest", "asof_join"]
+__all__ = ["dedupe_latest", "asof_join", "interval_join_bucketed"]
 
 
 def dedupe_latest(df: DataFrame, key: str, ts: str, tiebreak: str) -> DataFrame:
@@ -93,3 +93,59 @@ def asof_join(
         "matched_ts",
         *[F.col(f"_m_{c}").alias(c) for c in value_cols],
     )
+
+
+def interval_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 86400,
+    how: str = "inner",
+) -> DataFrame:
+    """Range-containment join (point.ts ∈ [start, end]) without the
+    nested-loop trap.
+
+    Spark plans a raw ``ts BETWEEN start AND end`` join as
+    BroadcastNestedLoop — quadratic the moment neither side broadcasts.
+    The shuffle-native form aligns both sides on TIME BUCKETS: each point
+    has exactly one bucket, each interval explodes into the buckets it
+    overlaps (bounded by interval length / bucket_seconds), the join is a
+    plain equi-join on the bucket, and the exact BETWEEN filter runs
+    post-join.  Because a point owns a single bucket, no (point,
+    interval) pair can meet twice — no dedup pass needed.
+
+    Pick ``bucket_seconds`` near the typical interval length: shorter
+    buckets shrink the per-bucket candidate sets, longer buckets shrink
+    the interval fan-out.  ``how='left'`` keeps points matching no
+    interval, with NULL interval columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("interval_join_bucketed supports inner|left")
+    b = F.lit(bucket_seconds)
+    pb = points.withColumn(
+        "_bkt", (F.floor(F.unix_timestamp(F.col(ts_col)) / b)).cast("long")
+    )
+    ib = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / b).cast("long"),
+                F.floor(F.unix_timestamp(F.col(end_col)) / b).cast("long"),
+            )
+        ),
+    )
+    cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    if how == "inner":
+        return pb.join(ib, "_bkt").filter(cond).drop("_bkt")
+    matched = pb.join(ib, "_bkt").filter(cond).drop("_bkt")
+    # left: union matched with never-matched points carrying NULLs
+    never = points.join(
+        matched.select(*points.columns).distinct(),
+        points.columns,
+        "left_anti",
+    )
+    for c in [c for c in ib.columns if c not in points.columns + ["_bkt"]]:
+        never = never.withColumn(c, F.lit(None))
+    return matched.unionByName(never.select(matched.columns))

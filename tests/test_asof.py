@@ -101,3 +101,60 @@ def test_value_col_name_clash_raises(spark):
     )
     with pytest.raises(ValueError, match="duplicate left column"):
         asof_join(left, right, "k", "ts", "rts", ["price"])
+
+
+def test_interval_join_bucketed_equals_naive_between(spark):
+    """Bucketed interval join ≡ naive BETWEEN cross-join filter for inner
+    and left joins, including points matching no interval, and the plan
+    carries NO BroadcastNestedLoop when broadcast is disabled."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gujarati_readability_pagewise_spark.operators.asof import (
+        interval_join_bucketed,
+    )
+
+    base = 1_700_000_000
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pid": range(200),
+                "ts": [pd.Timestamp(base + i * 977, unit="s") for i in range(200)],
+            }
+        )
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "iv_id": range(8),
+                "start_ts": [pd.Timestamp(base + i * 20000, unit="s") for i in range(8)],
+                "end_ts": [
+                    pd.Timestamp(base + i * 20000 + 15000, unit="s") for i in range(8)
+                ],
+            }
+        )
+    )
+    naive = sorted(
+        map(
+            tuple,
+            pts.crossJoin(iv)
+            .filter((F.col("ts") >= F.col("start_ts")) & (F.col("ts") <= F.col("end_ts")))
+            .select("pid", "iv_id")
+            .collect(),
+        )
+    )
+    fast = interval_join_bucketed(pts, iv, bucket_seconds=7200)
+    got = sorted(map(tuple, fast.select("pid", "iv_id").collect()))
+    assert got == naive and len(naive) > 0
+    left = interval_join_bucketed(pts, iv, bucket_seconds=7200, how="left")
+    lp = left.select("pid", "iv_id").collect()
+    matched_pids = {t[0] for t in naive}
+    assert {r["pid"] for r in lp if r["iv_id"] is None} == set(range(200)) - matched_pids
+    assert sorted((r["pid"], r["iv_id"]) for r in lp if r["iv_id"] is not None) == naive
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = interval_join_bucketed(pts, iv, bucket_seconds=7200)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoop" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
