@@ -1344,6 +1344,8 @@ def q_streaming_windowed_counts(spark, sf):
     warc_ts, payload bytes re-derived from the page template), so the
     incremental micro-batch execution must converge to exactly the batch
     answer."""
+    import os
+    import shutil
     import tempfile
 
     from gujarati_readability_pagewise_spark.streaming.ingest import (
@@ -1351,7 +1353,11 @@ def q_streaming_windowed_counts(spark, sf):
         windowed_host_counts,
     )
 
-    src = tempfile.mkdtemp(prefix="graft_stream_src_")
+    # per-pid fixed scratch root, cleaned up front: re-invocations reuse
+    # one directory instead of leaking a fresh mkdtemp per run
+    src = os.path.join(tempfile.gettempdir(), f"graft_stream_src_{os.getpid()}")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
     pages_from_documents(spark, sf).write.mode("overwrite").parquet(src)
     for q in spark.streams.active:
         if q.name == "graft_stream_win":
@@ -1651,6 +1657,8 @@ def q_streaming_dedup_urls(spark, sf):
     directly from documents.  The horizon is set far beyond the feed's
     time span so state is never evicted mid-run (a re-crawl pair split
     across micro-batches must still dedup deterministically)."""
+    import os
+    import shutil
     import tempfile
 
     from gujarati_readability_pagewise_spark.streaming.ingest import (
@@ -1658,7 +1666,12 @@ def q_streaming_dedup_urls(spark, sf):
         stream_pages,
     )
 
-    src = tempfile.mkdtemp(prefix="graft_stream_dedup_")
+    # per-pid fixed scratch root, cleaned up front (no mkdtemp leak)
+    src = os.path.join(
+        tempfile.gettempdir(), f"graft_stream_dedup_{os.getpid()}"
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
     docs = load_table(spark, sf, "documents")
     pages = docs.withColumn(
         "fetch", F.explode(F.array(F.lit(0), F.lit(1)))
@@ -4249,13 +4262,25 @@ def oracle_sql() -> dict[str, str]:
                        AS bucket_start,
                      CAST(count(*) AS BIGINT) AS n
               FROM planted GROUP BY 1, 2),
+                 span AS (
+              SELECT key, min(bucket_start) AS lo, max(bucket_start) AS hi
+              FROM counts GROUP BY key),
+                 grid AS (
+              SELECT key, unnest(generate_series(lo, hi, 21600))
+                       AS bucket_start
+              FROM span),
+                 dense AS (
+              SELECT g.key, g.bucket_start,
+                     CAST(coalesce(c.n, 0) AS BIGINT) AS n
+              FROM grid g LEFT JOIN counts c
+                ON g.key = c.key AND g.bucket_start = c.bucket_start),
                  win AS (
               SELECT key, bucket_start, n,
                      CAST(count(n) OVER w AS BIGINT) AS w_cnt,
                      CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS sum_prior,
                      CAST(coalesce(sum(n * n) OVER w, 0) AS BIGINT)
                        AS sumsq_prior
-              FROM counts
+              FROM dense
               WINDOW w AS (PARTITION BY key ORDER BY bucket_start
                            ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
             SELECT key, bucket_start, n, w_cnt, sum_prior, sumsq_prior,
@@ -4280,13 +4305,25 @@ def oracle_sql() -> dict[str, str]:
                        AS bucket_start,
                      CAST(count(*) AS BIGINT) AS n
               FROM planted GROUP BY 1, 2),
+                 span AS (
+              SELECT key, min(bucket_start) AS lo, max(bucket_start) AS hi
+              FROM counts GROUP BY key),
+                 grid AS (
+              SELECT key, unnest(generate_series(lo, hi, 21600))
+                       AS bucket_start
+              FROM span),
+                 dense AS (
+              SELECT g.key, g.bucket_start,
+                     CAST(coalesce(c.n, 0) AS BIGINT) AS n
+              FROM grid g LEFT JOIN counts c
+                ON g.key = c.key AND g.bucket_start = c.bucket_start),
                  win AS (
               SELECT key, bucket_start, n,
                      CAST(count(n) OVER w AS BIGINT) AS w_cnt,
                      CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS sum_prior,
                      CAST(coalesce(sum(n * n) OVER w, 0) AS BIGINT)
                        AS sumsq_prior
-              FROM counts
+              FROM dense
               WINDOW w AS (PARTITION BY key ORDER BY bucket_start
                            ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
             SELECT key, bucket_start, n, w_cnt, sum_prior, sumsq_prior,
@@ -5538,13 +5575,15 @@ def oracle_sql() -> dict[str, str]:
               WHERE lang_pred IN ('gu', 'hi', 'en') AND q >= 0.55
                 AND n_chars BETWEEN 80 AND 20000),
                  first AS (
-              SELECT doc_id FROM (
-                SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
-                                                  ORDER BY doc_id) AS rn
+              SELECT doc_id, digest FROM (
+                SELECT doc_id, md5(text) AS digest,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
                 FROM kept)
               WHERE rn = 1)
             SELECT k.doc_id, k.source, md5(k.text) AS text_md5
-            FROM kept k JOIN first USING (doc_id)
+            FROM kept k JOIN first ON first.doc_id = k.doc_id
+                                  AND first.digest = md5(k.text)
         """,
         "corpus_curation": """
             WITH scored AS (

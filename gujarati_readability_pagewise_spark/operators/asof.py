@@ -124,7 +124,15 @@ def interval_join_bucketed(
     if how not in ("inner", "left"):
         raise ValueError("interval_join_bucketed supports inner|left")
     b = F.lit(bucket_seconds)
-    pb = points.withColumn(
+    # The left path rebuilds never-matched points by anti-joining on a
+    # SYNTHETIC unique row id, never the full point-column tuple: join
+    # equality is null-rejecting, so a matched point carrying a NULL in
+    # any payload column would survive a full-tuple anti-join and appear
+    # twice (once matched, once NULL-padded).  The id also keeps
+    # duplicate identical point rows distinct.  Both branches below
+    # derive from the SAME tagged plan, so the per-row ids agree.
+    tagged = points.withColumn("_pid", F.monotonically_increasing_id())
+    pb = tagged.withColumn(
         "_bkt", (F.floor(F.unix_timestamp(F.col(ts_col)) / b)).cast("long")
     )
     ib = intervals.withColumn(
@@ -138,14 +146,10 @@ def interval_join_bucketed(
     )
     cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
     if how == "inner":
-        return pb.join(ib, "_bkt").filter(cond).drop("_bkt")
+        return pb.join(ib, "_bkt").filter(cond).drop("_bkt", "_pid")
     matched = pb.join(ib, "_bkt").filter(cond).drop("_bkt")
     # left: union matched with never-matched points carrying NULLs
-    never = points.join(
-        matched.select(*points.columns).distinct(),
-        points.columns,
-        "left_anti",
-    )
+    never = tagged.join(matched.select("_pid"), "_pid", "left_anti")
     for c in [c for c in ib.columns if c not in points.columns + ["_bkt"]]:
         never = never.withColumn(c, F.lit(None))
-    return matched.unionByName(never.select(matched.columns))
+    return matched.unionByName(never.select(matched.columns)).drop("_pid")

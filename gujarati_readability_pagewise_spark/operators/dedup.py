@@ -551,12 +551,44 @@ def simhash_near_pairs(
     )
 
 
+def _split_hot_hash_join(
+    wins: DataFrame, matches: DataFrame, head_k: int | None
+) -> DataFrame:
+    """Join the raw window stream to per-hash match rows with the
+    broadcast-head skew split (the bigram_fluency cure, ported here).
+
+    ``matches`` must carry (h, first, cnt).  Window-hash frequency is
+    Zipf at web scale: one 40-char boilerplate string present in 10% of
+    a 10^12-doc corpus would funnel every occurrence through a single
+    partition of a plain shuffle join on ``h``.  With ``head_k`` set,
+    the top-K hottest hashes (by occurrence count — known exactly from
+    the firsts aggregation) are broadcast and resolve in a map-side
+    broadcast hash join; only the unskewed tail takes the shuffle join.
+    The split is EXACT (both branches read the same first-occurrence
+    rows; the union is the same row set as the plain join), proven
+    value-identical in tests with a planted hot boilerplate string.
+    The extra branch re-scans/re-explodes the text rather than caching
+    the window stream — at corpus scale recompute is the right trade
+    (the window stream is |corpus text| sized; a cache would spill it)."""
+    if not head_k:
+        return wins.join(matches.select("h", "first"), "h")
+    head = F.broadcast(
+        matches.orderBy(F.desc("cnt"), "h").limit(head_k).select("h", "first")
+    )
+    hot = wins.join(head, "h")  # broadcast: hot hashes never shuffle
+    tail = wins.join(head.select("h"), "h", "left_anti").join(
+        matches.select("h", "first"), "h"
+    )  # anti is broadcast too; the remaining shuffle join is unskewed
+    return hot.unionByName(tail)
+
+
 def duplicate_spans(
     docs: DataFrame,
     text_col: str = "text",
     key_col: str = "doc_id",
     window: int = 40,
     n_partitions: int | None = None,
+    head_k: int | None = 1024,
 ) -> DataFrame:
     """Exact duplicate SUBSTRING spans across the corpus — the
     suffix-array "ExactSubstr" dedup of Lee et al. 2021 (Deduplicating
@@ -586,10 +618,14 @@ def duplicate_spans(
     operator's contract (it feeds both cutting and audit).
 
     Scale shape (10^12 docs): the window explode is the same volume as
-    the shingle explode the MinHash family already runs; the only wide
-    exchange is the window-hash shuffle (combinable min/count), and hot
-    boilerplate strings cannot skew a reducer beyond one row per hash
-    after the partial aggregation.
+    the shingle explode the MinHash family already runs; the window-hash
+    AGGREGATION is skew-safe (combinable min/count — hot boilerplate
+    collapses map-side to one row per hash), and the subsequent join of
+    the raw window stream back to the duplicated-hash rows — the one
+    place a Zipf-hot hash COULD funnel a partition — takes the
+    broadcast-head split (``head_k``, see :func:`_split_hot_hash_join`):
+    the hottest hashes resolve map-side, value-identical to the plain
+    join (``head_k=None``).
     """
     d = docs.select(key_col, text_col)
     if n_partitions:
@@ -610,7 +646,7 @@ def duplicate_spans(
         F.count("*").alias("cnt"),
     )
     dups = (
-        wins.join(firsts.filter(F.col("cnt") >= 2).select("h", "first"), "h")
+        _split_hot_hash_join(wins, firsts.filter(F.col("cnt") >= 2), head_k)
         .filter(
             ~(
                 (F.col(key_col) == F.col(f"first.{key_col}"))
@@ -677,6 +713,7 @@ def duplicate_spans_incremental(
     key_col: str = "doc_id",
     window: int = 40,
     n_partitions: int | None = None,
+    head_k: int | None = 1024,
 ) -> DataFrame:
     """Incremental ExactSubstr dedup: duplicate spans in a NEW snapshot
     against the stored corpus ``window_hash_index`` — the daily-ingest
@@ -713,7 +750,7 @@ def duplicate_spans_incremental(
         F.count("*").alias("cnt"),
     )
     dups_new = (
-        fresh.join(firsts.filter(F.col("cnt") >= 2).select("h", "first"), "h")
+        _split_hot_hash_join(fresh, firsts.filter(F.col("cnt") >= 2), head_k)
         .filter(
             ~(
                 (F.col(key_col) == F.col(f"first.{key_col}"))

@@ -15,8 +15,11 @@ and the sqrt::
 where Σ/Σx² run over the W trailing buckets.  The squared terms can
 exceed 64 bits once a (key, bucket) count passes ~10^8 — exactly the
 hot keys the monitor exists for — so the COMPARISON is evaluated in
-128-bit integers (Spark DECIMAL(38,0), DuckDB HUGEINT: exact up to
-counts ~10^18), while the emitted columns stay BIGINT.  Both sides are
+128-bit integers (Spark DECIMAL(38,0), DuckDB HUGEINT).  The binding
+term is (W·x − Σ)² ≤ (W·x)², so with W=24 the comparison is exact up to
+per-bucket counts of ~4·10^17 (where (24n)² reaches 10^38); beyond
+that Spark's non-ANSI decimal multiply returns NULL and the flag is
+coalesced to 0 rather than emitted NULL.  Emitted columns stay BIGINT.  Both sides are
 exact integers, so the flag is bit-identical across engines and
 partitionings — a float z-score would drift in the variance's summation
 order, and 64-bit arithmetic would crash (ANSI) or silently wrap the
@@ -52,6 +55,16 @@ def volume_anomalies(
     x exceeds the trailing mean (one-sided: bursts, not droughts) —
     evaluated only once ``min_trailing`` prior buckets exist.  Output:
     (key, bucket_start, n, w_cnt, sum_prior, sumsq_prior, is_anomaly).
+
+    Buckets are DENSIFIED per key before the window: every bucket in the
+    key's [min, max] bucket range materializes (n=0 when no event
+    arrived), so the ``trailing`` window is ``trailing`` TIME buckets,
+    never a rows-window over present rows that would let a sparse key's
+    "24-bucket" baseline silently span weeks and judge a post-outage
+    burst against stale volumes.  Zero-volume buckets appear in the
+    output (flag 0 — the rule is one-sided) so droughts are visible to
+    the metrics sink too.  Cost: |keys| x horizon rows — bounded by the
+    monitoring horizon, not event volume.
     """
     bucket = (
         F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds) * bucket_seconds
@@ -59,6 +72,18 @@ def volume_anomalies(
     counts = (
         events.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket_start"))
         .agg(F.count("*").alias("n"))
+    )
+    span = counts.groupBy("key").agg(
+        F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi")
+    )
+    grid = span.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(bucket_seconds))
+        ).alias("bucket_start"),
+    )
+    counts = grid.join(counts, ["key", "bucket_start"], "left").withColumn(
+        "n", F.coalesce(F.col("n"), F.lit(0)).cast("long")
     )
     w = (
         W.partitionBy("key")
@@ -84,6 +109,11 @@ def volume_anomalies(
         & (prior_n * F.col("n") > prior_sum)  # one-sided: burst only
         & (lhs * lhs > k * k * (d(prior_n) * sumsq_d - d(prior_sum) * d(prior_sum)))
     )
+    # DECIMAL(38,0) overflow in lhs*lhs is non-ANSI NULL: past counts of
+    # ~1e17 per bucket (W*n squared hits 10^38) the flag would go NULL,
+    # not 0/1 — coalesce pins it 0 and the bound is documented here
+    # rather than silently producing a NULL monitor row.
+    flag = F.coalesce(flag.cast("int"), F.lit(0))
     return counts.select(
         "key",
         "bucket_start",

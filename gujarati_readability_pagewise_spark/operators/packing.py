@@ -42,7 +42,10 @@ def pack_sequences(
     Output (one row per doc, all LONG except noted):
     ``(key, n_tokens int, cum_before, start_chunk, start_offset,
     end_chunk)`` where tokens are whitespace tokens, ``cum_before`` is
-    the total token count of all docs with smaller key, ``start_chunk =
+    the total token count of all docs with smaller key (numeric order
+    for numeric/timestamp keys; binary UTF-8 order for string keys —
+    which is also DuckDB's default string collation, so SQL oracles
+    agree), ``start_chunk =
     cum_before div seq_len``, ``start_offset = cum_before % seq_len``,
     and ``end_chunk`` is the chunk holding the doc's last token (equal to
     ``start_chunk`` for empty docs).  A doc spans
@@ -52,14 +55,52 @@ def pack_sequences(
     n_tok = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.size(F.split(trimmed, r"\s+"))
     )
-    t = docs.select(key_col, n_tok.cast("int").alias("n_tokens"))
+    key_dtype = dict(docs.dtypes).get(key_col)
+    numeric_kinds = (
+        "tinyint", "smallint", "int", "bigint", "float", "double", "date",
+        "timestamp",
+    )
+    if key_dtype in ("float", "double"):
+        order_key, quant_key = F.col(key_col), F.col(key_col)
+    elif key_dtype in numeric_kinds:
+        order_key, quant_key = F.col(key_col), F.col(key_col).cast("double")
+    elif key_dtype == "string":
+        # approxQuantile is numeric-only, but string keys (urls, doc ids)
+        # are the common corpus case: range-bucket on an order-monotone
+        # numeric surrogate — the first 7 UTF-8 bytes as a big-endian
+        # integer, zero-padded on the right so shorter keys stay below
+        # their extensions ("ab" < "abc").  Surrogate order == UTF-8 byte
+        # order, so the within-bucket window orders by the BINARY
+        # encoding (Spark binary comparison is unsigned-lexicographic),
+        # keeping the bucket split and the intra-bucket order mutually
+        # consistent for every script, where UTF-16 string order would
+        # disagree with the surrogate around supplementary codepoints.
+        # Surrogate ties (shared 7-byte prefix) land in one bucket and
+        # resolve inside its window.
+        order_key = F.encode(F.col(key_col), "UTF-8")
+        quant_key = F.conv(
+            F.rpad(F.hex(F.substring(F.encode(F.col(key_col), "UTF-8"), 1, 7)),
+                   14, "0"),
+            16, 10,
+        ).cast("double")
+    else:
+        raise TypeError(
+            f"pack_sequences: key column {key_col!r} has unsupported dtype "
+            f"{key_dtype!r}; use a numeric, timestamp, or string key"
+        )
+    t = docs.select(
+        key_col,
+        n_tok.cast("int").alias("n_tokens"),
+        quant_key.alias("_qk"),
+        order_key.alias("_ok"),
+    )
     spark = t.sparkSession
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(t.approxQuantile(key_col, probs, 0.001)))
+    bounds = sorted(set(t.approxQuantile("_qk", probs, 0.001)))
     if bounds:
         conds = F.lit(0)
         for b in bounds:
-            conds = conds + F.when(F.col(key_col) > F.lit(b), 1).otherwise(0)
+            conds = conds + F.when(F.col("_qk") > F.lit(b), 1).otherwise(0)
         bucketed = t.withColumn("_bkt", conds)
     else:
         bucketed = t.withColumn("_bkt", F.lit(0))
@@ -78,14 +119,14 @@ def pack_sequences(
     )
     w = (
         W.partitionBy("_bkt")
-        .orderBy(key_col)
+        .orderBy("_ok")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("_off")
     out = (
         bucketed.join(F.broadcast(off_df), "_bkt")
         .withColumn("cum_before", cum.cast("long"))
-        .drop("_bkt", "_off")
+        .drop("_bkt", "_off", "_qk", "_ok")
     )
     start = F.expr(f"cum_before div {seq_len}")
     end = F.when(

@@ -272,12 +272,18 @@ def curate_merge_batch(
         .filter(F.col("_q") >= min_quality)
         .filter(F.length(text_col).between(*length_band))
     )
-    first = (
-        kept.groupBy(F.md5(F.col(text_col)).alias("_digest"))
-        .agg(F.min(key_col).alias(key_col))
-        .select(key_col)
+    first = kept.groupBy(F.md5(F.col(text_col)).alias("_digest")).agg(
+        F.min(key_col).alias(key_col)
     )
-    out = kept.join(first, key_col, "left_semi").drop("_lang", "_q")
+    # semi-join on (key, digest) PAIRS, not key alone: if a key re-arrives
+    # with new text, each content version survives only where it actually
+    # won its own digest group — a key-only semi would retain every
+    # version of any key that won for ANY digest (duplicate content).
+    out = (
+        kept.withColumn("_digest", F.md5(F.col(text_col)))
+        .join(first, [key_col, "_digest"], "left_semi")
+        .drop("_lang", "_q", "_digest")
+    )
     out.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("_bkt").parquet(kept_dir)

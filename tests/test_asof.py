@@ -158,3 +158,41 @@ def test_interval_join_bucketed_equals_naive_between(spark):
         assert "BroadcastNestedLoop" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_interval_join_left_null_payload_and_dup_points(spark):
+    """Left interval join must not duplicate a MATCHED point whose payload
+    column is NULL (a full-tuple anti-join is null-rejecting and would
+    leave it in the never-matched branch too), and must keep duplicate
+    identical point rows as distinct rows."""
+    from datetime import datetime, timezone
+
+    from gujarati_readability_pagewise_spark.operators.asof import (
+        interval_join_bucketed,
+    )
+
+    base = 1_700_000_000
+    dt = lambda s: datetime.fromtimestamp(base + s, tz=timezone.utc).replace(tzinfo=None)
+    pts = spark.createDataFrame(
+        [
+            # matched, NULL payload — the ADVICE failure case
+            (dt(100), None),
+            # matched, twice (identical duplicate rows)
+            (dt(200), "a"),
+            (dt(200), "a"),
+            # unmatched, NULL payload
+            (dt(90000), None),
+        ],
+        "ts timestamp, payload string",
+    )
+    iv = spark.createDataFrame(
+        [(1, dt(0), dt(1000))],
+        "iv_id int, start_ts timestamp, end_ts timestamp",
+    )
+    out = interval_join_bucketed(pts, iv, bucket_seconds=3600, how="left")
+    rows = sorted(
+        [(r["payload"], r["iv_id"]) for r in out.select("payload", "iv_id").collect()],
+        key=lambda t: (str(t[0]), str(t[1])),
+    )
+    # exactly 4 rows: NULL-payload matched ONCE, both dups matched, one never-matched
+    assert rows == [(None, 1), (None, None), ("a", 1), ("a", 1)]

@@ -583,3 +583,67 @@ def test_salted_join_equals_plain_join(spark):
 
     with pytest.raises(ValueError):
         salted_join(left, right, "k", how="full")
+
+
+def test_volume_anomalies_densifies_sparse_keys(spark):
+    """The trailing baseline must run over TIME buckets, not present
+    rows: a key that goes silent for days and then bursts is judged
+    against the (zero-volume) recent buckets, not week-old volumes —
+    and the zero buckets appear in the output with flag 0."""
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.operators.monitor import (
+        volume_anomalies,
+    )
+
+    base = 1_700_000_000
+    rows = []
+    # steady 500/hour for 30 buckets, 70 empty buckets, then ONE 400-event hour:
+    # vs the trailing 24 zero buckets that's an infinite-z burst; vs the stale
+    # present-rows baseline (mean 500) it would have been judged a drought.
+    for h in range(30):
+        rows += [(pd.Timestamp(base + h * 3600 + i % 3000, unit="s"), "feed")
+                 for i in range(500)]
+    rows += [(pd.Timestamp(base + 100 * 3600 + i, unit="s"), "feed")
+             for i in range(400)]
+    ev = spark.createDataFrame(pd.DataFrame(rows, columns=["ts", "event_type"]))
+    out = volume_anomalies(ev, bucket_seconds=3600, trailing=24, k=3).collect()
+    by_bucket = {r["bucket_start"]: r for r in out}
+    assert len(out) == 101  # densified: every bucket in [0h, 100h]
+    gap = by_bucket[(base // 3600 + 50) * 3600]
+    assert gap["n"] == 0 and gap["is_anomaly"] == 0
+    burst = by_bucket[(base // 3600 + 100) * 3600]
+    assert burst["w_cnt"] == 24 and burst["sum_prior"] == 0
+    assert burst["is_anomaly"] == 1  # flagged vs the DENSE zero baseline
+
+
+def test_pack_sequences_string_keys(spark):
+    """pack_sequences over a string-keyed corpus (urls — the release-job
+    case): coordinates must equal the naive prefix sum in UTF-8 byte
+    order, and a non-orderable key dtype must raise a clear TypeError."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gujarati_readability_pagewise_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rows = [(f"https://h{i % 13}.example/p{i:04d}", "tok " * (i % 37))
+            for i in range(300)]
+    rows += [("https://h1.example/p0003x", "a b c")]  # prefix-extension pair
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cum_before"])
+        for r in pack_sequences(df, key_col="doc_id", seq_len=64,
+                                n_buckets=8).collect()
+    }
+    acc = 0
+    for k, t in sorted(rows, key=lambda r: r[0].encode("utf-8")):
+        n = 0 if not t.strip() else len(t.split())
+        assert got[k] == (n, acc), k
+        acc += n
+    with pytest.raises(TypeError, match="unsupported dtype"):
+        pack_sequences(
+            df.select(F.array(F.lit(1)).alias("doc_id"), "text"),
+            key_col="doc_id",
+        )

@@ -691,3 +691,64 @@ def test_semantic_dedup_groups_near_vectors_keeps_lowest_id(spark):
         emb.repartition(8), threshold=0.9, n_cells=2, n_iter=2, dim=4
     ).collect()}
     assert {k: tuple(v) for k, v in out.items()} == again
+
+
+def test_duplicate_spans_hot_hash_broadcast_head_split(spark):
+    """Skew cure for the wins ⋈ firsts join: with a planted hot 40-char
+    boilerplate string in >=20% of docs, the broadcast-head form must be
+    row-identical to the plain shuffle join (head_k=None), and with
+    auto-broadcast disabled the head must still resolve via
+    BroadcastHashJoin while the plain form has none — i.e. the hot hash
+    never crosses a shuffle in the split form."""
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.operators.dedup import (
+        duplicate_spans,
+        duplicate_spans_incremental,
+        window_hash_index,
+    )
+
+    boiler = "SUBSCRIBE-TO-OUR-NEWSLETTER-FOR-UPDATES!"  # exactly 40 chars
+    assert len(boiler) == 40
+    rows = []
+    for i in range(200):
+        body = f"unique body {i:05d} " + ("filler%05d " % (i * 7)) * 6
+        # hot boilerplate in 25% of docs, at varying offsets
+        if i % 4 == 0:
+            body = body[: 10 + (i % 5)] + boiler + body[10 + (i % 5):]
+        rows.append((i, body))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    plain = sorted(map(tuple, duplicate_spans(docs, window=40, head_k=None).collect()))
+    split = sorted(map(tuple, duplicate_spans(docs, window=40, head_k=8).collect()))
+    assert split == plain and len(plain) >= 50  # the hot docs all carry spans
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p_split = (
+            duplicate_spans(docs, window=40, head_k=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        p_plain = (
+            duplicate_spans(docs, window=40, head_k=None)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in p_split, p_split  # explicit head broadcast
+        assert "BroadcastHashJoin" not in p_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # incremental twin: same split, same value-equality vs head_k=None
+    corpus = docs.filter("doc_id < 120")
+    snap = docs.filter("doc_id >= 120").select(
+        (F.col("doc_id")).alias("doc_id"), "text"
+    )
+    idx = window_hash_index(corpus, window=40)
+    inc_plain = sorted(
+        map(tuple, duplicate_spans_incremental(snap, idx, window=40, head_k=None).collect())
+    )
+    inc_split = sorted(
+        map(tuple, duplicate_spans_incremental(snap, idx, window=40, head_k=8).collect())
+    )
+    assert inc_split == inc_plain and len(inc_plain) > 0

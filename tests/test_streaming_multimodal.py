@@ -392,3 +392,49 @@ def test_monitor_merge_late_bucket_repairs_windows(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_curate_merge_key_rearrival_new_text(spark, tmp_path):
+    """A key that re-arrives with NEW text contributes two content
+    versions; each version must survive only where it won its OWN digest
+    group.  A key-only semi-join would keep every version of any key
+    that won for ANY digest — duplicate content under two doc_ids."""
+    from pyspark.sql import functions as F
+
+    from gujarati_readability_pagewise_spark.functions.textstats import (
+        lang_id_expr,
+        quality_score_expr,
+    )
+    from gujarati_readability_pagewise_spark.streaming.ingest import (
+        curate_merge_batch,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    passing = (
+        base.withColumn("_lang", lang_id_expr(F.col("text")))
+        .withColumn("_q", quality_score_expr(F.col("text")))
+        .filter(F.col("_lang").isin(["gu", "hi", "en"]))
+        .filter(F.col("_q") >= 0.55)
+        .filter(F.length("text").between(80, 20000))
+        .orderBy("doc_id")
+        .limit(2)
+        .collect()
+    )
+    assert len(passing) == 2 and passing[0]["text"] != passing[1]["text"]
+    text_a, text_b = passing[0]["text"], passing[1]["text"]
+    rows = [
+        (10, text_a, "s"),  # key 10 wins digest(text_a)
+        (10, text_b, "s"),  # ...but loses digest(text_b) to key 2
+        (2, text_b, "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    state = str(tmp_path / "state")
+    curate_merge_batch(spark, docs, state)
+    kept = sorted(
+        (r["doc_id"], r["text"] == text_a)
+        for r in spark.read.parquet(f"{state}/kept")
+        .select("doc_id", "text")
+        .collect()
+    )
+    # (2, text_b) and (10, text_a) only — never (10, text_b)
+    assert kept == [(2, False), (10, True)]
