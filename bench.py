@@ -275,6 +275,31 @@ def main() -> None:
                 "min": round(min(times), 3),
                 "spread": round(max(times) / min(times), 2),
             }
+
+    # -- end-to-end release plan at this SF (the artifact a corpus team
+    # ships): curation → verified near-dup survivors → ExactSubstr cut →
+    # fixpoint PII scrub → packing → released parquet.  Wall time plus the
+    # per-stage funnel counts go into the JSON so the row is checkable
+    # against the curation_funnel oracle family.
+    from gujarati_readability_pagewise_spark.plans.release import run_release
+
+    release_root = f"/tmp/spark_graft_bench_release_{os.getpid()}"
+    shutil.rmtree(release_root, ignore_errors=True)
+    docs_df = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    t0 = time.time()
+    rel = run_release(
+        spark, docs_df, release_root, cut_spans_window=40,
+        job_id=f"bench-release-sf{sf}",
+    )
+    release_row = {
+        "wall_sec": round(time.time() - t0, 3),
+        "funnel": {
+            k: int(v) for k, v in rel.items()
+            if k.startswith("n_")
+        },
+    }
+    queries["release_e2e"] = release_row["wall_sec"]
+    shutil.rmtree(release_root, ignore_errors=True)
     spark.stop()
 
     total = round(sum(queries.values()), 3)
@@ -306,7 +331,21 @@ def main() -> None:
                     f"pipeline_vs_ceiling_8_to_{CPUS}": round(
                         eff_8_32 / burn["eff"], 3
                     ) if burn["eff"] else None,
+                    # ceiling-NORMALIZED throughput: raw pages/s divided by
+                    # the same-window burn ceiling ratio (what the host let
+                    # a pinned pure-CPU job scale to).  Round-over-round
+                    # kernel wins stay visible through host weather; the
+                    # raw number above remains the honest wall-clock figure.
+                    f"pages_per_sec_{CPUS}core_ceiling_normalized": round(
+                        tput32 / burn["eff"], 1
+                    ) if burn["eff"] else None,
+                    # throughput per M-hash/s of same-window host capability
+                    # (normalizes ABSOLUTE host speed, not just scaling)
+                    f"pages_per_mhash_{CPUS}core": round(
+                        tput32 / (burn["hash_per_sec_big"] / 1e6), 2
+                    ) if burn.get("hash_per_sec_big") else None,
                 },
+                "release": release_row,
                 "bench_wall_sec": round(time.time() - t_all, 1),
             }
         )

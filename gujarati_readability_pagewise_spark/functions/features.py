@@ -127,7 +127,38 @@ def _mask_table(patterns: dict[str, "re.Pattern"]) -> np.ndarray:
     return tab
 
 
-def _class_counts(t: pd.Series, patterns: dict[str, "re.Pattern"]) -> dict[str, np.ndarray]:
+class _CpView:
+    """The batch decoded to a uint32 codepoint array ONCE, shared by every
+    per-character pass (class histogram, sentence runs, akshara starts).
+
+    ``cp_lo`` clamps astral codepoints to 0 for BMP table lookups (chr(0)
+    is in none of the classes, which is also the correct semantics for
+    the run/cluster scans: an astral char breaks a virama chain exactly
+    like any other out-of-class char).  ``starts`` marks each doc's first
+    position so shifted-neighbor logic never reads across a doc boundary.
+    """
+
+    __slots__ = ("n", "lens", "cp", "cp_lo", "doc_id", "astral_idx", "starts")
+
+    def __init__(self, t: pd.Series):
+        texts = t.tolist()
+        self.n = len(texts)
+        joined = "".join(texts)
+        self.cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        self.lens = np.array([len(s) for s in texts], dtype=np.int64)
+        self.astral_idx = np.nonzero(self.cp >= _BMP)[0]
+        self.cp_lo = np.where(self.cp >= _BMP, 0, self.cp)
+        self.doc_id = np.repeat(np.arange(self.n, dtype=np.int64), self.lens)
+        self.starts = np.zeros(len(self.cp), dtype=bool)
+        if len(self.cp):
+            offs = np.cumsum(self.lens)[:-1]
+            self.starts[0] = True
+            self.starts[offs[offs < len(self.cp)]] = True
+
+
+def _class_counts(
+    t: pd.Series, patterns: dict[str, "re.Pattern"], view: _CpView | None = None
+) -> dict[str, np.ndarray]:
     """Per-doc count of each single-char class, in ONE histogram pass.
 
     Each character maps to a bitmask of the classes it belongs to (classes
@@ -137,30 +168,24 @@ def _class_counts(t: pd.Series, patterns: dict[str, "re.Pattern"]) -> dict[str, 
     counts.  ~1.4x the 6-x-``np.add.reduceat`` formulation it replaces,
     and empty docs need no special casing (their bins just stay zero).
     """
-    texts = t.tolist()
-    n = len(texts)
-    joined = "".join(texts)
-    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
-    lens = np.array([len(s) for s in texts], dtype=np.int64)
-    out: dict[str, np.ndarray] = {"len": lens.astype(np.float64)}
-    if len(cp) == 0:
+    v = view if view is not None else _CpView(t)
+    n = v.n
+    out: dict[str, np.ndarray] = {"len": v.lens.astype(np.float64)}
+    if len(v.cp) == 0:
         zero = np.zeros(n, dtype=np.float64)
         out.update({k: zero.copy() for k in patterns})
         return out
     nbits = len(patterns)
-    astral_idx = np.nonzero(cp >= _BMP)[0]
-    cp_lo = np.where(cp >= _BMP, 0, cp)
-    combo = _mask_table(patterns)[cp_lo].astype(np.int64)
-    if len(astral_idx):
-        for i in astral_idx:
-            ch = chr(int(cp[i]))
+    combo = _mask_table(patterns)[v.cp_lo].astype(np.int64)
+    if len(v.astral_idx):
+        for i in v.astral_idx:
+            ch = chr(int(v.cp[i]))
             m = 0
             for b, pat in enumerate(patterns.values()):
                 if pat.fullmatch(ch) is not None:
                     m |= 1 << b
             combo[i] = m
-    doc_id = np.repeat(np.arange(n, dtype=np.int64), lens)
-    hist = np.bincount((doc_id << nbits) + combo, minlength=n << nbits)
+    hist = np.bincount((v.doc_id << nbits) + combo, minlength=n << nbits)
     hist = hist.reshape(n, 1 << nbits).astype(np.float64)
     bitmat = ((np.arange(1 << nbits)[:, None] >> np.arange(nbits)[None, :]) & 1).astype(
         np.float64
@@ -169,6 +194,84 @@ def _class_counts(t: pd.Series, patterns: dict[str, "re.Pattern"]) -> dict[str, 
     for b, name in enumerate(patterns):
         out[name] = counts[:, b]
     return out
+
+
+def _prev(mask: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """mask shifted one position right, False at each doc's first char."""
+    out = np.empty_like(mask)
+    out[0] = False
+    out[1:] = mask[:-1]
+    out[starts] = False
+    return out
+
+
+# Single-char classes for the fused numpy passes below — built from the
+# SAME grammar fragments as the scanning regexes they replace, so the
+# membership tables are identical by construction.
+_SENT_CH = re.compile(r"[.!?…।॥]")
+_C_CH = re.compile(_C)
+_NUKTA_CH = re.compile("઼")
+_VIRAMA_CH = re.compile(_VIRAMA)
+_INDEP_CH = re.compile(_INDEP_V)
+
+
+def _sentence_counts(v: _CpView) -> np.ndarray:
+    """Per-doc count of ``[.!?…।॥]+`` runs — each maximal run of the class
+    is one match, so the count is the number of RUN STARTS (in-class char
+    whose predecessor, within the doc, is not in-class).  One table
+    lookup + one shift replaces a findall that materialized every match.
+    """
+    if len(v.cp) == 0:
+        return np.zeros(v.n, dtype=np.float64)
+    m = _table(_SENT_CH)[v.cp_lo]
+    starts_run = m & ~_prev(m, v.starts)
+    return np.bincount(
+        v.doc_id[starts_run], minlength=v.n
+    ).astype(np.float64)
+
+
+def _akshara_counts(v: _CpView) -> np.ndarray:
+    """Per-doc count of ``_AKSHARA`` cluster matches without running the
+    cluster regex.
+
+    Scanning the grammar left-to-right non-overlapping, every match
+    begins at exactly one of:
+
+    * an independent vowel (the second alternation branch), or
+    * a consonant NOT absorbed into the previous cluster — absorption
+      happens only via the ``(virama C nukta?)*`` tail, i.e. when the
+      immediately preceding char is a virama that itself directly follows
+      a consonant or a consonant+nukta (an "attached" virama).  An orphan
+      virama (start of doc, or after a matra/space/vowel/second virama)
+      attaches to nothing, so the consonant after it starts a new
+      cluster, exactly as the scanner would.
+
+    Matras and modifiers never start a match (they only extend one), and
+    out-of-grammar chars are skipped by findall — so counting the two
+    start kinds IS the match count.  Equivalence with the scanning regex
+    is pinned by a randomized property test over adversarial Gujarati
+    strings (orphan viramas, nukta chains, astral chars, mixed scripts).
+    """
+    if len(v.cp) == 0:
+        return np.zeros(v.n, dtype=np.float64)
+    # one packed-bitmask gather for all four classes (the gather is the
+    # cost; the per-bit unpacks are cheap uint8 vector ops)
+    m = _mask_table(
+        {"c": _C_CH, "nukta": _NUKTA_CH, "virama": _VIRAMA_CH, "indep": _INDEP_CH}
+    )[v.cp_lo]
+    is_c = (m & 1).astype(bool)
+    is_nukta = (m & 2).astype(bool)
+    is_virama = (m & 4).astype(bool)
+    is_indep = (m & 8).astype(bool)
+    prev_c = _prev(is_c, v.starts)
+    prev_nukta = _prev(is_nukta, v.starts)
+    prev2_c = _prev(prev_c, v.starts)
+    attached_virama = is_virama & (prev_c | (prev_nukta & prev2_c))
+    new_c = is_c & ~_prev(attached_virama, v.starts)
+    starts_cluster = new_c | is_indep
+    return np.bincount(
+        v.doc_id[starts_cluster], minlength=v.n
+    ).astype(np.float64)
 
 
 def _stopword_count(words: list[str]) -> int:
@@ -188,7 +291,11 @@ def compute_features(texts: pd.Series) -> np.ndarray:
 
     word_lists = t.str.split()
     n_words = word_lists.str.len().fillna(0).to_numpy(dtype=np.float64)
-    n_sent = t.str.count(_SENT).to_numpy(dtype=np.float64)
+    # ONE codepoint decode of the batch feeds the class histogram, the
+    # sentence-run count, and the akshara cluster count — the three
+    # passes that used to re-walk the text independently.
+    view = _CpView(t)
+    n_sent = _sentence_counts(view)
     cc = _class_counts(
         t,
         {
@@ -199,30 +306,43 @@ def compute_features(texts: pd.Series) -> np.ndarray:
             "guj_letter": _GUJ_LETTER,
             "space": _SPACE,
         },
+        view=view,
     )
     n_chars = cc["len"]
     n_punct = cc["punct"]
     n_digit = cc["digit"]
     n_guj = cc["guj"]
     n_letter = cc["letter"]
+    n_akshara = _akshara_counts(view)
 
-    # akshara grammar only where Gujarati codepoints exist — a doc with
-    # n_guj == 0 has 0 aksharas by definition, so the guard is exact
-    n_akshara = np.zeros(n, dtype=np.float64)
-    has_guj = n_guj > 0
-    if has_guj.any():
-        n_akshara[has_guj] = t[has_guj].str.count(_AKSHARA).to_numpy(dtype=np.float64)
-
-    # uniques / stopwords need the token lists; list-comp over the batch is
-    # the pandas-internal loop shape, not a Spark per-row UDF.
-    n_unique = np.array(
-        [len(set(ws)) if isinstance(ws, list) else 0 for ws in word_lists],
-        dtype=np.float64,
+    # uniques / stopwords via one factorize over the batch's flat word
+    # stream: the per-unique-word work (set membership, .lower()) runs
+    # once per VOCABULARY entry (Zipf-small), not once per occurrence,
+    # and the per-doc sums are bincounts over integer codes.
+    flat: list[str] = []
+    wl_list = word_lists.tolist()
+    wlens = np.array(
+        [len(ws) if isinstance(ws, list) else 0 for ws in wl_list], dtype=np.int64
     )
-    n_stop = np.array(
-        [_stopword_count(ws) if isinstance(ws, list) else 0 for ws in word_lists],
-        dtype=np.float64,
-    )
+    for ws in wl_list:
+        if isinstance(ws, list):
+            flat.extend(ws)
+    if flat:
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        doc_of_word = np.repeat(np.arange(n, dtype=np.int64), wlens)
+        is_stop_u = np.array(
+            [u.lower() in _STOPWORDS for u in uniques], dtype=np.float64
+        )
+        n_stop = np.bincount(
+            doc_of_word, weights=is_stop_u[codes], minlength=n
+        )
+        pair = (doc_of_word << 32) | codes.astype(np.int64)
+        n_unique = np.bincount(
+            np.unique(pair) >> 32, minlength=n
+        ).astype(np.float64)
+    else:
+        n_stop = np.zeros(n, dtype=np.float64)
+        n_unique = np.zeros(n, dtype=np.float64)
 
     safe_words = np.maximum(n_words, 1.0)
     safe_chars = np.maximum(n_chars, 1.0)

@@ -71,7 +71,18 @@ def run_release(
     """Run the full release chain; returns the funnel as a dict."""
     job_id = job_id or f"release-{int(time.time())}"
     t0 = time.time()
-    funnel: dict[str, float] = {"n_input": float(docs.count())}
+    _t_last = [t0]
+
+    def _stage(name: str) -> None:
+        # per-stage wall time in the funnel/metrics: the release row in
+        # bench.py reports these so a slow release run names its stage
+        now = time.time()
+        funnel[f"t_{name}"] = round(now - _t_last[0], 3)
+        _t_last[0] = now
+
+    funnel: dict[str, float] = {}
+    funnel["n_input"] = float(docs.count())
+    _stage("input_count")
 
     # 1. curation chain (same rules as the curation_funnel gate query)
     rep = repetition_signals(
@@ -96,6 +107,7 @@ def run_release(
         .persist()
     )
     funnel["n_curated"] = float(cur.count())
+    _stage("curation")
 
     # 2. verified near-dup survivors
     sh = char_shingles(
@@ -113,6 +125,7 @@ def run_release(
         audit.filter(F.col("is_survivor") == 1).select(key_col), key_col, "left_semi"
     ).persist()  # consumed by count + optional cutting + scrub/write/packing
     funnel["n_survivors"] = float(survivors.count())
+    _stage("near_dup_survivors")
 
     # 3. optional ExactSubstr cutting inside the surviving docs
     if cut_spans_window:
@@ -125,6 +138,7 @@ def run_release(
             survivors.agg(F.sum("n_cut_chars")).first()[0] or 0
         )
         survivors = survivors.drop("n_cut_chars")
+        _stage("span_cutting")
 
     # 4. PII scrub at the fixpoint, IPv6 included; persisted because the
     # packing prefix-sum takes two driver actions (approxQuantile + bucket
@@ -141,6 +155,7 @@ def run_release(
     funnel["n_released"] = float(
         spark.read.parquet(f"{out_root}/released").count()
     )
+    _stage("scrub_pack_write")
     funnel["n_sequences"] = float(
         packed.agg(
             (F.max(F.col("end_chunk")) + 1).cast("double").alias("s")

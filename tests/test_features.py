@@ -87,3 +87,44 @@ def test_batch_matches_scalar():
 def test_none_handled():
     X = compute_features(pd.Series([None, "ઠીક છે."]))
     assert np.all(X[0] == 0.0)
+
+
+def test_fused_numpy_passes_equal_scanning_regexes():
+    """The round-5 kernel fast-path replaces the _SENT / _AKSHARA findall
+    scans with single-pass table lookups over the shared codepoint array.
+    Equivalence must hold on adversarial inputs: orphan viramas, nukta
+    chains, consecutive modifiers, astral chars, doc boundaries where one
+    doc ends in a sentence run or attached virama and the next begins
+    mid-class."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    import gujarati_readability_pagewise_spark.functions.features as FT
+
+    rng = random.Random(2024)
+    alphabet = (
+        [chr(c) for c in range(0x0A95, 0x0ABA)]            # consonants
+        + ["઼", "્"]                                        # nukta, virama
+        + [chr(c) for c in range(0x0ABE, 0x0ACD)]           # matras
+        + [chr(c) for c in range(0x0A81, 0x0A84)] + ["ૐ"]  # modifiers, om
+        + [chr(c) for c in range(0x0A85, 0x0A95)]           # indep vowels
+        + list("abc .!?…।॥123\n\t") + ["𐌀", "😀"]
+    )
+    docs = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120)))
+        for _ in range(300)
+    ]
+    docs += ["", "્ક", "ક્", "ક્ક્ક", "અ્ક", "ક઼્ક", "ક઼઼્ક", "કા્ક",
+             "...!!।॥", ".a.b.", "ૐૐ", "😀્ક", "ક્।ક"]
+    t = pd.Series(docs)
+    v = FT._CpView(t)
+    np.testing.assert_array_equal(
+        FT._sentence_counts(v),
+        np.array([len(FT._SENT.findall(d)) for d in docs], dtype=float),
+    )
+    np.testing.assert_array_equal(
+        FT._akshara_counts(v),
+        np.array([len(FT._AKSHARA.findall(d)) for d in docs], dtype=float),
+    )
