@@ -2794,6 +2794,47 @@ def q_streaming_anomalies(spark, sf):
     )
 
 
+def q_dsir_select(spark, sf):
+    """DSIR-style data selection (Xie et al. 2023): rank the corpus by
+    hashed-unigram+bigram importance toward an English target slice —
+    integer bucket counts, add-one smoothing, and the LINEARIZED
+    likelihood ratio (one float division of exact integer products; a
+    log-linear score would drift by libm ulps across engines, the
+    bigram_fluency lesson).  Both bucket tables broadcast (<=4096 rows);
+    the 500-row ranking window is adjudicated-benign SINGLE_PART.
+    Oracle re-derives buckets, counts, smoothing, and the ratio."""
+    from pyspark.sql import Window as W
+
+    from gujarati_readability_pagewise_spark.operators.dsir import (
+        dsir_importance,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    scored = dsir_importance(docs, target, n_buckets=4096)
+    w = W.orderBy(F.desc("importance"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 150)
+        .select("rank", "doc_id", "n_grams", "s_target", "s_raw", "importance")
+    )
+
+
+def q_bpe_merges(spark, sf):
+    """Tokenizer induction: first-iteration BPE merge candidates — top-50
+    adjacent character pairs by corpus count, counted over the
+    distinct-word VOCABULARY weighted by word frequency (the Sennrich
+    trick that makes per-merge rescans vocabulary-sized, not
+    corpus-sized).  Integer counts, deterministic pair-string ties; the
+    oracle re-derives words, weights, and pair offsets."""
+    from gujarati_readability_pagewise_spark.functions.textstats import (
+        bpe_merge_candidates,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return bpe_merge_candidates(docs, k=50)
+
+
 def q_vocab_coverage(spark, sf):
     """Tokenizer-budget analysis: top-100 corpus vocabulary with the
     cumulative coverage curve (share of all token occurrences captured by
@@ -3212,46 +3253,123 @@ def q_tpch_q9(spark, sf):
 
 
 def q_tpch_q11(spark, sf):
-    """Q11 shape (value concentration): GROUP BY + HAVING against a SCALAR
-    subquery over the same aggregate — parts whose inventory value exceeds
-    1/1300 of the global total.  Spark-first: the global total is a 1-row
-    broadcast crossJoin (no partsupp in the testdata; value is derived
-    from lineitem cents×quantity, same both engines).  plan_audit flags
-    BNL_JOIN+SINGLE_PART here by design: both are the 1-row scalar
-    broadcast, the same adjudicated-benign shape as tpch_q22."""
-    li = load_table(spark, sf, "lineitem")
-    v = li.groupBy("l_partkey").agg(
-        F.sum(
-            F.floor(F.col("l_extendedprice") * 100).cast("long")
-            * F.col("l_quantity").cast("long")
-        ).alias("value_fp")
+    """Q11 TRUE form (value concentration over partsupp): inventory value
+    of one nation's suppliers per part vs a scalar fraction of the global
+    total.  The testdata ships no partsupp, so the SAME deterministic
+    derived partsupp as tpch_q2 stands in (8 round-robin suppliers per
+    part; cost and availqty from the cross-engine stable hash), making
+    the whole query value-checkable.  Spark-first: the supplier⋈nation
+    dimension broadcasts into the ps build, per-part values aggregate in
+    one shuffle, and the global threshold is a 1-row broadcast crossJoin
+    with exact integer `div` (adjudicated-benign BNL+SINGLE_PART, the
+    tpch_q22 shape)."""
+    part = load_table(spark, sf, "part")
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
+    n_supp = sup.count()  # scalar: supplier count is dimension-sized
+    ps = part.select("p_partkey").crossJoin(
+        spark.range(8).select(F.col("id").cast("int").alias("i"))
+    ).select(
+        "p_partkey",
+        F.pmod(F.col("p_partkey") * 8 + F.col("i"), F.lit(n_supp)).alias(
+            "ps_suppkey"
+        ),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("p_partkey").cast("string"),
+                            F.lit("#ps"),
+                            F.col("i").cast("string"),
+                        )
+                    ), 1, 15,
+                ), 16, 10,
+            ).cast("long"),
+            F.lit(100000),
+        ).alias("ps_cost_fp"),
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("p_partkey").cast("string"),
+                                F.lit("#av"),
+                                F.col("i").cast("string"),
+                            )
+                        ), 1, 15,
+                    ), 16, 10,
+                ).cast("long"),
+                F.lit(10000),
+            ) + 1
+        ).alias("ps_availqty"),
     )
-    # integer `div`, not float `/` + cast: the double quotient of a ~2^44
-    # sum can round across the integer boundary the oracle's exact `//`
-    # never crosses
-    total = v.agg(F.expr("sum(value_fp) div 1300").alias("_thr"))
+    nsup = sup.join(
+        F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
+    ).select("s_suppkey")
+    v = (
+        ps.join(F.broadcast(nsup), ps["ps_suppkey"] == nsup["s_suppkey"])
+        .groupBy("p_partkey")
+        .agg(F.sum(F.col("ps_cost_fp") * F.col("ps_availqty")).alias("value_fp"))
+    )
+    # integer `div`, not float `/` + cast: a double quotient can round
+    # across the integer boundary the oracle's exact `//` never crosses
+    total = v.agg(F.expr("sum(value_fp) div 10000").alias("_thr"))
     return (
         v.crossJoin(F.broadcast(total))
         .filter(F.col("value_fp") > F.col("_thr"))
-        .select("l_partkey", "value_fp")
-        .orderBy(F.desc("value_fp"), "l_partkey")
+        .select("p_partkey", "value_fp")
+        .orderBy(F.desc("value_fp"), "p_partkey")
     )
 
 
 def q_tpch_q20(spark, sf):
-    """Q20 shape (part-promotion suppliers): the nested-subquery semi
-    chain — suppliers having SOME selected part ('small%' names, 1995-96
-    shipments) they shipped at more than TWICE the part's per-supplier
-    average.  No partsupp table, so availability is the supplier's own
-    shipped quantity; the correlated-aggregate comparison (nsupp·qty >
-    2·total) stays in exact integers.  Spark-first: per-(supp, part)
-    quantities once, per-part totals joined back, then one LEFT SEMI into
-    supplier — no correlated re-execution."""
+    """Q20 TRUE form (part-promotion suppliers): the nested-subquery semi
+    chain over partsupp — one nation's suppliers having SOME 'small%'
+    part whose derived availability exceeds half their own 1995-96
+    shipped quantity.  Same deterministic derived partsupp as
+    tpch_q2/q11; the correlated half-sum comparison is decorrelated into
+    a per-(supp, part) aggregate joined back and stays in exact integers
+    (2·availqty > Σqty; an empty shipment sum excludes the row, matching
+    the NULL-comparison semantics of the correlated original).
+    Spark-first: selected parts broadcast into both the ps build and the
+    lineitem scan; the only wide exchange is the (supp, part) quantity
+    aggregation; the final supplier keep is one LEFT SEMI."""
     li = load_table(spark, sf, "lineitem")
     part = load_table(spark, sf, "part").filter(F.col("p_name").like("small%"))
     sup = load_table(spark, sf, "supplier")
-    sp = (
-        li.join(F.broadcast(part.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"))
+    nat = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    n_supp = sup.count()  # scalar: supplier count is dimension-sized
+    ps = part.select("p_partkey").crossJoin(
+        spark.range(8).select(F.col("id").cast("int").alias("i"))
+    ).select(
+        "p_partkey",
+        F.pmod(F.col("p_partkey") * 8 + F.col("i"), F.lit(n_supp)).alias(
+            "ps_suppkey"
+        ),
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("p_partkey").cast("string"),
+                                F.lit("#av"),
+                                F.col("i").cast("string"),
+                            )
+                        ), 1, 15,
+                    ), 16, 10,
+                ).cast("long"),
+                F.lit(10000),
+            ) + 1
+        ).alias("ps_availqty"),
+    )
+    shipped = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
         .filter(
             (F.col("l_shipdate") >= "1995-01-01")
             & (F.col("l_shipdate") < "1997-01-01")
@@ -3259,18 +3377,17 @@ def q_tpch_q20(spark, sf):
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
     )
-    avg_part = sp.groupBy("l_partkey").agg(
-        F.sum("qty").alias("tot"), F.count("*").alias("nsupp")
-    )
-    keep = (
-        sp.join(avg_part, "l_partkey")
-        .filter(F.col("nsupp") * F.col("qty") > 2 * F.col("tot"))
-        .select("l_suppkey")
-    )
+    promo = ps.join(
+        shipped,
+        (ps["ps_suppkey"] == shipped["l_suppkey"])
+        & (ps["p_partkey"] == shipped["l_partkey"]),
+    ).filter(2 * F.col("ps_availqty") > F.col("qty"))
+    keep = promo.select("ps_suppkey").distinct()
     return (
-        sup.join(keep, sup["s_suppkey"] == keep["l_suppkey"], "left_semi")
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(keep, sup["s_suppkey"] == keep["ps_suppkey"], "left_semi")
         .select("s_suppkey", "s_name")
-        .orderBy("s_suppkey")
+        .orderBy("s_name", "s_suppkey")
     )
 
 
@@ -3756,6 +3873,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_extract": q_pipeline_extract,
         "pipeline_score_summary": q_pipeline_score_summary,
         "multimodal_features": q_multimodal_features,
+        "dsir_select": q_dsir_select,
+        "bpe_merges": q_bpe_merges,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
         "a10_json_param_mean": q_a10_json_param_mean,
         "a1_class_distribution": q_a1_class_distribution,
         "a2_host_summary": q_a2_host_summary,
@@ -3866,9 +3987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "tpch_q10": q_tpch_q10,
         # -- new in round 4 --
-        "tpch_q11": q_tpch_q11,
         "tpch_q2": q_tpch_q2,
-        "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
@@ -4337,6 +4456,73 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS is_anomaly
             FROM win
         """,
+        "dsir_select": """
+            WITH tk AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+              FROM documents),
+                 unis AS (
+              SELECT doc_id, tk[i] AS gram
+              FROM tk, unnest(range(1, len(tk) + 1)) t(i)
+              WHERE length(tk[i]) > 0),
+                 bis AS (
+              SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS gram
+              FROM tk, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) t(i)
+              WHERE len(tk) >= 2),
+                 grams AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(gram), 1, 15))::BIGINT % 4096
+                       AS bucket
+              FROM (SELECT * FROM unis UNION ALL SELECT * FROM bis)),
+                 tgt AS (
+              SELECT g.bucket, CAST(count(*) AS BIGINT) AS ct
+              FROM grams g JOIN documents d USING (doc_id)
+              WHERE d.lang = 'en' GROUP BY 1),
+                 raw AS (
+              SELECT bucket, CAST(count(*) AS BIGINT) AS cr
+              FROM grams GROUP BY 1),
+                 tot AS (
+              SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS t_t,
+                     (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS t_r),
+                 scored AS (
+              SELECT g.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(coalesce(t.ct, 0) + 1) AS BIGINT) AS s_target,
+                     CAST(sum(r.cr + 1) AS BIGINT) AS s_raw
+              FROM grams g
+              LEFT JOIN tgt t USING (bucket)
+              JOIN raw r USING (bucket)
+              GROUP BY 1)
+            SELECT * FROM (
+              SELECT CAST(row_number() OVER
+                       (ORDER BY CAST(s_target * (t_r + 4096) AS DOUBLE)
+                                 / CAST(s_raw * (t_t + 4096) AS DOUBLE) DESC,
+                                 doc_id) AS INT) AS rank,
+                     doc_id, n_grams, s_target, s_raw,
+                     CAST(s_target * (t_r + 4096) AS DOUBLE)
+                       / CAST(s_raw * (t_t + 4096) AS DOUBLE) AS importance
+              FROM scored, tot)
+            WHERE rank <= 150
+        """,
+        "bpe_merges": """
+            WITH words AS (
+              SELECT t.w, CAST(count(*) AS BIGINT) AS wcnt
+              FROM documents,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) t(w)
+              WHERE length(t.w) >= 2
+              GROUP BY t.w),
+                 pairs AS (
+              SELECT substr(w, i, 2) AS pair, wcnt
+              FROM words, unnest(range(1, length(w))) t(i)),
+                 counts AS (
+              SELECT pair, CAST(sum(wcnt) AS BIGINT) AS n_occurrences
+              FROM pairs GROUP BY pair)
+            SELECT CAST(row_number() OVER
+                     (ORDER BY n_occurrences DESC, pair) AS INT) AS rank,
+                   pair, n_occurrences
+            FROM counts
+            ORDER BY n_occurrences DESC, pair
+            LIMIT 50
+        """,
         "vocab_coverage": """
             WITH toks AS (
               SELECT t.token FROM documents,
@@ -4480,19 +4666,43 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 ORDER BY nation, o_year DESC
         """,
         "tpch_q11": """
-            WITH v AS (
-              SELECT l_partkey,
-                     CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
-                          * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_fp
-              FROM lineitem GROUP BY l_partkey)
-            SELECT l_partkey, value_fp FROM v
-            WHERE value_fp > (SELECT CAST(sum(value_fp) // 1300 AS BIGINT)
+            WITH ps AS (
+              SELECT p.p_partkey,
+                     (p.p_partkey * 8 + t.i) % (SELECT count(*) FROM supplier)
+                       AS ps_suppkey,
+                     ('0x' || substr(md5(p.p_partkey::VARCHAR || '#ps'
+                          || t.i::VARCHAR), 1, 15))::BIGINT % 100000
+                       AS ps_cost_fp,
+                     ('0x' || substr(md5(p.p_partkey::VARCHAR || '#av'
+                          || t.i::VARCHAR), 1, 15))::BIGINT % 10000 + 1
+                       AS ps_availqty
+              FROM part p, unnest([0, 1, 2, 3, 4, 5, 6, 7]) t(i)),
+                 nsup AS (
+              SELECT s.s_suppkey FROM supplier s
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+              WHERE n.n_name = 'NATION_7'),
+                 v AS (
+              SELECT p_partkey,
+                     CAST(sum(ps_cost_fp * ps_availqty) AS BIGINT) AS value_fp
+              FROM ps JOIN nsup ON nsup.s_suppkey = ps.ps_suppkey
+              GROUP BY 1)
+            SELECT p_partkey, value_fp FROM v
+            WHERE value_fp > (SELECT CAST(sum(value_fp) // 10000 AS BIGINT)
                               FROM v)
-            ORDER BY value_fp DESC, l_partkey
+            ORDER BY value_fp DESC, p_partkey
         """,
         "tpch_q20": """
             WITH sel AS (
               SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+                 ps AS (
+              SELECT p.p_partkey,
+                     (p.p_partkey * 8 + t.i) % (SELECT count(*) FROM supplier)
+                       AS ps_suppkey,
+                     ('0x' || substr(md5(p.p_partkey::VARCHAR || '#av'
+                          || t.i::VARCHAR), 1, 15))::BIGINT % 10000 + 1
+                       AS ps_availqty
+              FROM part p JOIN sel USING (p_partkey),
+                   unnest([0, 1, 2, 3, 4, 5, 6, 7]) t(i)),
                  sp AS (
               SELECT l_suppkey, l_partkey,
                      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
@@ -4500,17 +4710,17 @@ def oracle_sql() -> dict[str, str]:
               WHERE l_shipdate >= DATE '1995-01-01'
                 AND l_shipdate <  DATE '1997-01-01'
               GROUP BY 1, 2),
-                 avg_part AS (
-              SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS tot,
-                     count(*) AS nsupp
-              FROM sp GROUP BY 1)
+                 keep AS (
+              SELECT DISTINCT ps.ps_suppkey
+              FROM ps JOIN sp ON sp.l_suppkey = ps.ps_suppkey
+                             AND sp.l_partkey = ps.p_partkey
+              WHERE 2 * ps.ps_availqty > sp.qty)
             SELECT s.s_suppkey, s.s_name
             FROM supplier s
-            WHERE EXISTS (
-              SELECT 1 FROM sp JOIN avg_part a USING (l_partkey)
-              WHERE sp.l_suppkey = s.s_suppkey
-                AND a.nsupp * sp.qty > 2 * a.tot)
-            ORDER BY s.s_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+                         AND n.n_name = 'NATION_3'
+            JOIN keep ON keep.ps_suppkey = s.s_suppkey
+            ORDER BY s.s_name, s.s_suppkey
         """,
         "tpch_q21": """
             SELECT s.s_name, count(*) AS numwait

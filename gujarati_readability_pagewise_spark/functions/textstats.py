@@ -123,3 +123,51 @@ def vocab_coverage(
             (F.col("cum_cnt") / F.col("_total")).alias("cum_coverage"),
         )
     )
+
+
+def bpe_merge_candidates(
+    docs,
+    text_col: str = "text",
+    k: int = 50,
+    n_partitions: int | None = None,
+):
+    """Tokenizer induction: the top-``k`` first-iteration BPE merge
+    candidates — adjacent CHARACTER pairs ranked by corpus occurrence
+    count (Sennrich et al. 2016's first merge step, the scan a
+    BPE-training run repeats per merge).
+
+    The standard scale trick is structural here: pairs are counted over
+    the distinct-word VOCABULARY weighted by word frequency, never over
+    the raw corpus stream — the explode that feeds the pair aggregation
+    is vocabulary-sized (Zipf: millions of rows at web scale), while the
+    corpus-sized token stream crosses only the map-combinable word-count
+    shuffle.  A within-word pair occurring twice in one word counts
+    twice (``transform`` over every adjacent offset).  Output: (rank,
+    pair, n_occurrences), integer counts, ties on the pair string; the
+    k-row ranking window is the tiny-window exception by design.
+    """
+    from pyspark.sql import Window as W
+
+    d = docs
+    if n_partitions:
+        d = d.repartition(n_partitions)
+    words = (
+        d.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("wcnt"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "wcnt",
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("wcnt").alias("n_occurrences"))
+    top = counts.orderBy(F.desc("n_occurrences"), "pair").limit(k)
+    w = W.orderBy(F.desc("n_occurrences"), "pair")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "pair",
+        "n_occurrences",
+    )
