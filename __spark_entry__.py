@@ -2892,6 +2892,61 @@ def q_crawl_schedule(spark, sf):
     )
 
 
+def q_streaming_schedule(spark, sf):
+    """STREAM ≡ BATCH oracle for the politeness rate limiter: the same
+    derived fetch frontier as crawl_schedule arrives as a file stream in
+    arbitrary micro-batch order; schedule_stream_merge maintains the
+    per-host slot table via log-append + per-bucket idempotent recompute
+    (foreachBatch), and the final table must equal the batch
+    crawl_schedule derivation exactly — the stable-hash within-host order
+    is what makes slots replay- and arrival-order-independent."""
+    import os
+    import shutil
+    import tempfile
+
+    from gujarati_readability_pagewise_spark.streaming.ingest import (
+        schedule_stream_merge,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    pages = docs.select(
+        F.col("doc_id"),
+        F.concat(
+            F.lit("h"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+        ).alias("host"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"graft_schedule_scratch_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir = os.path.join(root, "src")
+    state = os.path.join(root, "state")
+    os.makedirs(src_dir, exist_ok=True)
+    pages.repartition(12).write.mode("overwrite").parquet(src_dir)
+    for q in spark.streams.active:
+        if q.name == "graft_stream_schedule":
+            q.stop()
+    stream = (
+        spark.readStream.schema("doc_id bigint, host string")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src_dir)
+    )
+    sq = (
+        schedule_stream_merge(
+            spark, stream, state, host_col="host", key_col="doc_id",
+            min_interval_s=10,
+        )
+        .queryName("graft_stream_schedule")
+        .start()
+    )
+    sq.processAllAvailable()
+    sq.stop()
+    return spark.read.parquet(f"{state}/schedule").select(
+        "doc_id", "host", F.col("slot").cast("int").alias("slot"),
+        "sched_offset_s",
+    )
+
+
 def q_dedup_exact_substr(spark, sf):
     """ExactSubstr dedup (Lee et al. 2021) — exact duplicate SUBSTRING
     spans across the corpus, the dedup tier the MinHash family cannot
@@ -3877,6 +3932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "tpch_q11": q_tpch_q11,
         "tpch_q20": q_tpch_q20,
+        "streaming_schedule": q_streaming_schedule,
         "a10_json_param_mean": q_a10_json_param_mean,
         "a1_class_distribution": q_a1_class_distribution,
         "a2_host_summary": q_a2_host_summary,
@@ -4522,6 +4578,20 @@ def oracle_sql() -> dict[str, str]:
             FROM counts
             ORDER BY n_occurrences DESC, pair
             LIMIT 50
+        """,
+        "streaming_schedule": """
+            WITH pages AS (
+              SELECT doc_id, 'h' || CAST(doc_id % 7 AS VARCHAR) AS host
+              FROM documents)
+            SELECT doc_id, host,
+                   CAST(row_number() OVER (PARTITION BY host
+                     ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '#q0'),
+                               1, 15))::BIGINT, doc_id) AS INT) AS slot,
+                   CAST((row_number() OVER (PARTITION BY host
+                     ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '#q0'),
+                               1, 15))::BIGINT, doc_id) - 1) * 10 AS BIGINT)
+                     AS sched_offset_s
+            FROM pages
         """,
         "vocab_coverage": """
             WITH toks AS (

@@ -34,6 +34,7 @@ __all__ = [
     "curate_stream_merge",
     "curate_merge_batch",
     "monitor_stream_merge",
+    "schedule_stream_merge",
 ]
 
 
@@ -342,3 +343,64 @@ def monitor_stream_merge(
         ).partitionBy("_k").parquet(out_dir)
 
     return events.writeStream.foreachBatch(merge)
+
+
+def schedule_stream_merge(
+    spark: SparkSession,
+    fetches: DataFrame,
+    state_dir: str,
+    host_col: str = "host",
+    key_col: str = "url",
+    min_interval_s: int = 10,
+    n_buckets: int = 8,
+):
+    """Incrementally maintain the per-host politeness SCHEDULE from a
+    stream of fetch candidates — the streaming face of
+    operators/sampling.crawl_schedule (the crawl-frontier rate limiter).
+
+    Same idempotent merge pattern as the SCD2/curation/monitor merges:
+    every micro-batch APPENDS its (host, key) candidates to
+    ``state_dir/log``; the schedule for the TOUCHED host-hash buckets is
+    recomputed from the accumulated log with the batch ``crawl_schedule``
+    operator and written back with dynamic partition overwrite.  Because
+    the within-host order is the STABLE HASH of the key (not arrival
+    order), a fetch candidate that arrives late or is redelivered lands
+    in exactly the slot the batch derivation gives it — the final
+    schedule is independent of micro-batch boundaries and convergent
+    under at-least-once replay, which an arrival-ordered stateful
+    row_number could never be (a retry would renumber the host's whole
+    frontier).  Hosts are grouped into ``n_buckets`` hash buckets so the
+    partition layout is bounded and a batch's recompute cost is
+    proportional to the touched buckets' retained frontier, not the
+    whole log.
+
+    Returns the DataStreamWriter (caller starts/stops it).
+    """
+    from ..operators.sampling import crawl_schedule
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        log_dir = f"{state_dir}/log"
+        out_dir = f"{state_dir}/schedule"
+        bkt = F.pmod(F.xxhash64(F.col(host_col)), F.lit(n_buckets))
+        b = batch_df.select(host_col, key_col)
+        b.write.mode("append").parquet(log_dir)
+        touched = [
+            r["b"] for r in b.select(bkt.alias("b")).distinct().collect()
+        ]  # bounded: <= n_buckets
+        if not touched:
+            return
+        log = (
+            spark.read.parquet(log_dir)
+            .withColumn("_bkt", bkt)
+            .filter(F.col("_bkt").isin(touched))
+            .dropDuplicates([host_col, key_col])  # replayed appends collapse
+        )
+        sched = crawl_schedule(
+            log, host_col=host_col, key_col=key_col,
+            min_interval_s=min_interval_s,
+        )
+        sched.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_bkt").parquet(out_dir)
+
+    return fetches.writeStream.foreachBatch(merge)

@@ -752,3 +752,61 @@ def test_duplicate_spans_hot_hash_broadcast_head_split(spark):
         map(tuple, duplicate_spans_incremental(snap, idx, window=40, head_k=8).collect())
     )
     assert inc_split == inc_plain and len(inc_plain) > 0
+
+
+def test_dsir_importance_matches_python_reference(spark):
+    """dsir_importance must equal a pure-Python re-derivation of the
+    hashed-bucket counts and linearized ratio on a toy corpus, and rank
+    target-like docs above off-target ones."""
+    import hashlib
+
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.operators.dsir import (
+        dsir_importance,
+    )
+
+    rows = [
+        (0, "alpha beta gamma alpha beta", "t"),
+        (1, "alpha beta alpha beta gamma", "t"),
+        (2, "delta epsilon zeta", "r"),
+        (3, "alpha beta gamma delta", "r"),
+        (4, "zeta zeta epsilon", "r"),
+        (5, "", "r"),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "grp"])
+    )
+    target = docs.filter("grp = 't'")
+    m = 64
+
+    def grams(text):
+        toks = [w for w in text.split() if w]
+        return toks + [" ".join(p) for p in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % m
+
+    ct, cr = {}, {}
+    for _, text, grp in rows:
+        for g in grams(text):
+            b = bucket(g)
+            cr[b] = cr.get(b, 0) + 1
+            if grp == "t":
+                ct[b] = ct.get(b, 0) + 1
+    t_t, t_r = sum(ct.values()), sum(cr.values())
+    exp = {}
+    for k, text, _ in rows:
+        bs = [bucket(g) for g in grams(text)]
+        if not bs:
+            continue  # gramless docs are omitted
+        s_t = sum(ct.get(b, 0) + 1 for b in bs)
+        s_r = sum(cr.get(b, 0) + 1 for b in bs)
+        exp[k] = (len(bs), s_t, s_r, (s_t * (t_r + m)) / (s_r * (t_t + m)))
+    got = {
+        r["doc_id"]: (r["n_grams"], r["s_target"], r["s_raw"], r["importance"])
+        for r in dsir_importance(docs, target, n_buckets=m).collect()
+    }
+    assert got == exp
+    # target-vocabulary docs outrank the off-target doc
+    assert got[0][3] > got[2][3] and got[1][3] > got[4][3]

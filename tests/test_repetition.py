@@ -83,3 +83,35 @@ def test_bigram_fluency_broadcast_head_equals_exact_join(spark):
     # hot branch: broadcast hash join; tail restriction: broadcast anti
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_bpe_merge_candidates_matches_python_reference(spark):
+    """bpe_merge_candidates must equal the naive per-occurrence pair count
+    (weighted by word frequency, within-word adjacency only), with
+    deterministic tie-breaks."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.functions.textstats import (
+        bpe_merge_candidates,
+    )
+
+    texts = [
+        "lower lower newest newest newest widest",
+        "low new newest widest widest",
+        "ક્ષમા ક્ષમા ગુજરાત",  # multibyte: pairs count by CHARACTER
+        "a bb a",
+    ]
+    docs = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    words = Counter(w for t in texts for w in t.split() if len(w) >= 2)
+    pairs = Counter()
+    for w, c in words.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += c
+    exp = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["pair"], r["n_occurrences"])
+        for r in bpe_merge_candidates(docs, k=10).orderBy("rank").collect()
+    ]
+    assert got == exp

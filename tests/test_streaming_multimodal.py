@@ -438,3 +438,69 @@ def test_curate_merge_key_rearrival_new_text(spark, tmp_path):
     )
     # (2, text_b) and (10, text_a) only — never (10, text_b)
     assert kept == [(2, False), (10, True)]
+
+
+def test_schedule_merge_replay_and_order_invariant(spark, tmp_path):
+    """The politeness-schedule merge must converge to the batch
+    crawl_schedule regardless of micro-batch arrival order and under
+    whole-batch redelivery: stable-hash within-host order means a late
+    candidate lands in exactly its batch slot."""
+    from pyspark.sql import functions as F
+
+    from gujarati_readability_pagewise_spark.operators.sampling import (
+        crawl_schedule,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), F.pmod("doc_id", F.lit(5)).cast("string")).alias(
+            "host"
+        ),
+    )
+    state = str(tmp_path / "state")
+
+    # Drive the merge step directly (same logic as the foreachBatch body;
+    # the streaming_schedule gate query covers the full stream path) so
+    # batches can be applied out of order and replayed deterministically.
+    def merge(b):
+        bkt = F.pmod(F.xxhash64(F.col("host")), F.lit(8))
+        b.select("host", "doc_id").write.mode("append").parquet(f"{state}/log")
+        touched = [r["b"] for r in b.select(bkt.alias("b")).distinct().collect()]
+        if not touched:
+            return
+        log = (
+            spark.read.parquet(f"{state}/log")
+            .withColumn("_bkt", bkt)
+            .filter(F.col("_bkt").isin(touched))
+            .dropDuplicates(["host", "doc_id"])
+        )
+        sched = crawl_schedule(
+            log, host_col="host", key_col="doc_id", min_interval_s=10
+        )
+        sched.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_bkt").parquet(f"{state}/schedule")
+
+    b1 = pages.filter("doc_id % 3 = 2")
+    b2 = pages.filter("doc_id % 3 = 0")
+    b3 = pages.filter("doc_id % 3 = 1")
+    for b in (b1, b2, b3, b2):  # out of order + replay
+        merge(b)
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{state}/schedule")
+            .select("doc_id", "host", "slot", "sched_offset_s")
+            .collect(),
+        )
+    )
+    exp = sorted(
+        map(
+            tuple,
+            crawl_schedule(pages, host_col="host", key_col="doc_id")
+            .select("doc_id", "host", "slot", "sched_offset_s")
+            .collect(),
+        )
+    )
+    assert got == exp and len(exp) > 0
