@@ -3390,7 +3390,9 @@ def q_tpch_q20(spark, sf):
     the NULL-comparison semantics of the correlated original).
     Spark-first: selected parts broadcast into both the ps build and the
     lineitem scan; the only wide exchange is the (supp, part) quantity
-    aggregation; the final supplier keep is one LEFT SEMI."""
+    aggregation; the final supplier keep is one LEFT SEMI.  plan_audit's
+    BNL_JOIN flag is the 8-row literal range crossJoin building the
+    derived partsupp — adjudicated-benign by size (the q2 shape)."""
     li = load_table(spark, sf, "lineitem")
     part = load_table(spark, sf, "part").filter(F.col("p_name").like("small%"))
     sup = load_table(spark, sf, "supplier")
