@@ -2835,6 +2835,38 @@ def q_bpe_merges(spark, sf):
     return bpe_merge_candidates(docs, k=50)
 
 
+def q_host_blocklist(spark, sf):
+    """Domain-blocklist filtering (the C4-style URL filter tier): flag
+    docs whose host is a blocked domain OR any subdomain of one.  Suffix
+    semantics compile to max_labels equi BROADCAST joins (one per suffix
+    level, NULL past the label depth) fused into one map stage — zero
+    shuffles, no LIKE nested-loop, no per-task regex automaton.  Hosts
+    are derived deterministically (apex, www, and deep-cdn shapes) so
+    every suffix level is exercised; the oracle re-derives the suffix
+    expansion and the block set."""
+    from gujarati_readability_pagewise_spark.functions.urlnorm import (
+        host_block_flags,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    host = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("cdn."), F.col("source"), F.lit(".example.org")),
+    ).otherwise(
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.col("source"),
+            F.lit(".example.com"),
+        )
+    )
+    pages = docs.select("doc_id", host.alias("host"))
+    bl = spark.createDataFrame(
+        [("example.org",), ("src3.example.com",), ("src12.example.com",)],
+        "domain string",
+    )
+    return host_block_flags(pages, bl).select("doc_id", "host", "blocked")
+
+
 def q_vocab_coverage(spark, sf):
     """Tokenizer-budget analysis: top-100 corpus vocabulary with the
     cumulative coverage curve (share of all token occurrences captured by
@@ -3935,6 +3967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11": q_tpch_q11,
         "tpch_q20": q_tpch_q20,
         "streaming_schedule": q_streaming_schedule,
+        "host_blocklist": q_host_blocklist,
         "a10_json_param_mean": q_a10_json_param_mean,
         "a1_class_distribution": q_a1_class_distribution,
         "a2_host_summary": q_a2_host_summary,
@@ -4594,6 +4627,31 @@ def oracle_sql() -> dict[str, str]:
                                1, 15))::BIGINT, doc_id) - 1) * 10 AS BIGINT)
                      AS sched_offset_s
             FROM pages
+        """,
+        "host_blocklist": """
+            WITH pages AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN 'cdn.' || source || '.example.org'
+                          ELSE (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                                     ELSE '' END)
+                               || source || '.example.com' END AS host
+              FROM documents),
+                 bl(domain) AS (
+              VALUES ('example.org'), ('src3.example.com'),
+                     ('src12.example.com')),
+                 parts AS (
+              SELECT doc_id, host, string_split(lower(host), '.') AS ls
+              FROM pages),
+                 sfx AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(ls, i, len(ls)), '.') AS s
+              FROM parts, unnest(range(1, len(ls) + 1)) t(i)),
+                 hit AS (
+              SELECT DISTINCT doc_id FROM sfx JOIN bl ON sfx.s = bl.domain)
+            SELECT p.doc_id, p.host,
+                   CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS blocked
+            FROM pages p LEFT JOIN hit h ON h.doc_id = p.doc_id
         """,
         "vocab_coverage": """
             WITH toks AS (

@@ -40,8 +40,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "96"))
-# html decompresses ~12x from parquet; small splits keep the scan parallel
-SPLIT_BYTES = "65536"
+# Round-5 knob sweep (BENCH.md): a 4 MB CAP beats the old 64 KB splits at
+# every level (2-core 16.9k -> 26.4k, 32-core 204k -> 247k pages/s) because
+# Spark's maxSplitBytes = min(cap, bytes/defaultParallelism) then yields one
+# partition per core on this 7.8 MB bench corpus — per-task scheduling +
+# Arrow batch overhead was eating the kernel, not stragglers (same-config
+# 32-core windows vary ±15%, adjudicated by the interleaved trials).  On a
+# real 100 TB corpus keep Spark's 128 MB default: bytes/cores is huge there
+# and the cap never binds; 64 KB-style microsplits are strictly overhead.
+SPLIT_BYTES = "4194304"
 
 
 def _pages_dir() -> str:

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["canonicalize_url", "TRACKING_PREFIXES"]
+__all__ = ["canonicalize_url", "TRACKING_PREFIXES", "host_block_flags"]
 
 TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "ref=")
 
@@ -61,3 +61,65 @@ def canonicalize_url(url: Column) -> Column:
         F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_q)),
     )
     return F.when(host == "", url).otherwise(canon)
+
+
+
+def host_block_flags(
+    df,
+    blocklist,
+    host_col: str = "host",
+    domain_col: str = "domain",
+    max_labels: int = 8,
+):
+    """Domain-blocklist filtering (the C4/CCNet URL-filter tier): flag
+    every row whose host IS a blocked domain or a SUBDOMAIN of one.
+
+    Scale shape — ZERO shuffles: suffix semantics ("a.b.example.com"
+    blocked by "example.com") become ``max_labels`` equi broadcast hash
+    joins, one per suffix level (level i = the host minus its first i−1
+    labels, NULL past the label count, and NULL never matches), all
+    fused into the same map stage; ``blocked = any level hit``.  The
+    alternatives all break at corpus scale: a LIKE/array_contains join
+    plans as BroadcastNestedLoop, a regex alternation rebuilds a
+    million-branch automaton per task, and an explode + re-attach
+    shuffles the corpus for a 1-bit flag.  The blocklist (lowercased,
+    distinct) broadcasts once and is probed ``max_labels`` times.
+
+    ``blocklist``: DataFrame with ``domain_col`` — registrable domains or
+    any suffix level to block.  Output: ``df`` + ``blocked`` (0/1).
+    Hosts deeper than ``max_labels`` labels match on their first
+    ``max_labels`` suffix levels only (raise it for pathological hosts).
+    """
+    from pyspark.sql import functions as F
+
+    labels = F.split(F.lower(F.col(host_col)), r"\.")
+    # distinct guards against duplicate blocklist rows duplicating matched
+    # corpus rows through the left joins; localCheckpoint materializes it
+    # ONCE so the per-level branches broadcast the same result instead of
+    # re-running the dedup shuffle eight times
+    bl = (
+        blocklist.select(
+            F.lower(F.col(domain_col)).alias("_blocked_domain")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    out = df
+    hit_cols = []
+    for i in range(1, max_labels + 1):
+        sfx = F.when(
+            F.size(labels) >= i,
+            F.array_join(F.slice(labels, i, F.size(labels) - i + 1), "."),
+        )  # NULL past the label count: never equal, never matches
+        b_i = bl.withColumnRenamed("_blocked_domain", f"_bd_{i}")
+        out = out.withColumn(f"_sfx_{i}", sfx).join(
+            F.broadcast(b_i), F.col(f"_sfx_{i}") == F.col(f"_bd_{i}"), "left"
+        )
+        hit_cols.append(F.col(f"_bd_{i}").isNotNull())
+    blocked = hit_cols[0]
+    for c in hit_cols[1:]:
+        blocked = blocked | c
+    drop = [f"_sfx_{i}" for i in range(1, max_labels + 1)] + [
+        f"_bd_{i}" for i in range(1, max_labels + 1)
+    ]
+    return out.withColumn("blocked", blocked.cast("int")).drop(*drop)

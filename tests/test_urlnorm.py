@@ -103,3 +103,31 @@ def test_langid_quality_dialect_parity_randomized(spark):
     for i, t in enumerate(texts):
         want = con.execute(sql, [t] * 17).fetchone()
         assert got[i] == want, (i, repr(t), got[i], want)
+
+
+def test_host_block_flags_suffix_semantics(spark):
+    """Blocklist flags must cover exact hosts, subdomains at any depth,
+    case-insensitive matching, and must NOT duplicate rows when the
+    blocklist itself contains duplicates or a host matches at several
+    suffix levels."""
+    from gujarati_readability_pagewise_spark.functions.urlnorm import (
+        host_block_flags,
+    )
+
+    rows = [
+        (1, "example.org"),            # exact apex
+        (2, "a.b.c.d.example.org"),    # deep subdomain
+        (3, "WWW.Blocked.COM"),        # case-insensitive
+        (4, "notexample.org"),         # suffix must align on label boundary
+        (5, "example.org.evil.net"),   # blocked domain as PREFIX: not blocked
+        (6, "blocked.com"),            # matches two blocklist rows (dup + apex)
+        (7, "fine.example.net"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    bl = spark.createDataFrame(
+        [("example.org",), ("blocked.com",), ("Blocked.Com",), ("blocked.com",)],
+        "domain string",
+    )
+    out = {r["doc_id"]: r["blocked"] for r in host_block_flags(df, bl).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0, 6: 1, 7: 0}
+    assert host_block_flags(df, bl).count() == len(rows)  # no row duplication
