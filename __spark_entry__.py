@@ -2867,6 +2867,50 @@ def q_host_blocklist(spark, sf):
     return host_block_flags(pages, bl).select("doc_id", "host", "blocked")
 
 
+def q_sequence_packing_url(spark, sf):
+    """Cross-doc sequence packing over a STRING-keyed corpus (urls — the
+    release-job shape the round-4 advice flagged): pack_sequences
+    range-buckets on an order-monotone 7-byte UTF-8 surrogate and orders
+    the in-bucket window by the BINARY encoding, which is also DuckDB's
+    default string collation — so the oracle's ORDER BY url cumulative
+    window must agree bit-for-bit.  Same exact-integer coordinates as
+    sequence_packing."""
+    from gujarati_readability_pagewise_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    keyed = docs.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    return pack_sequences(keyed, key_col="url", seq_len=256, n_buckets=16)
+
+
+def q_dsir_incremental(spark, sf):
+    """Incremental DSIR: fit the hashed-ngram importance estimator on the
+    BASE corpus (docs with doc_id < 400; target = its English slice),
+    then score the NEW snapshot (doc_id >= 400) against the stored
+    (bucket, ct, cr) index — the fit-once/score-streams deployment shape,
+    cost ∝ snapshot.  Unseen buckets hit the add-one smoothing floor.
+    Oracle re-derives the index and the snapshot scoring."""
+    from gujarati_readability_pagewise_spark.operators.dsir import (
+        dsir_importance_incremental,
+        dsir_index,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    base = docs.filter(F.col("doc_id") < 400)
+    idx = dsir_index(base, base.filter(F.col("lang") == "en"), n_buckets=4096)
+    snap = docs.filter(F.col("doc_id") >= 400)
+    return dsir_importance_incremental(snap, idx, n_buckets=4096)
+
+
 def q_vocab_coverage(spark, sf):
     """Tokenizer-budget analysis: top-100 corpus vocabulary with the
     cumulative coverage curve (share of all token occurrences captured by
@@ -3968,6 +4012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "streaming_schedule": q_streaming_schedule,
         "host_blocklist": q_host_blocklist,
+        "sequence_packing_url": q_sequence_packing_url,
+        "dsir_incremental": q_dsir_incremental,
         "a10_json_param_mean": q_a10_json_param_mean,
         "a1_class_distribution": q_a1_class_distribution,
         "a2_host_summary": q_a2_host_summary,
@@ -4652,6 +4698,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.doc_id, p.host,
                    CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS blocked
             FROM pages p LEFT JOIN hit h ON h.doc_id = p.doc_id
+        """,
+        "sequence_packing_url": """
+            WITH keyed AS (
+              SELECT 'https://' || source || '.example.com/doc/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE CAST(len(regexp_split_to_array(trim(text),
+                                    '\\s+')) AS INT) END AS n_tokens
+              FROM documents),
+                 c AS (
+              SELECT url, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (ORDER BY url
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum_before
+              FROM keyed)
+            SELECT url, n_tokens, cum_before,
+                   CAST(cum_before // 256 AS BIGINT) AS start_chunk,
+                   CAST(cum_before % 256 AS BIGINT) AS start_offset,
+                   CAST(CASE WHEN n_tokens = 0 THEN cum_before // 256
+                        ELSE (cum_before + n_tokens - 1) // 256 END
+                     AS BIGINT) AS end_chunk
+            FROM c
+        """,
+        "dsir_incremental": """
+            WITH tk AS (
+              SELECT doc_id, lang,
+                     regexp_split_to_array(trim(text), '\\s+') AS tk
+              FROM documents),
+                 unis AS (
+              SELECT doc_id, lang, tk[i] AS gram
+              FROM tk, unnest(range(1, len(tk) + 1)) t(i)
+              WHERE length(tk[i]) > 0),
+                 bis AS (
+              SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1] AS gram
+              FROM tk, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) t(i)
+              WHERE len(tk) >= 2),
+                 grams AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(gram), 1, 15))::BIGINT % 4096
+                       AS bucket
+              FROM (SELECT * FROM unis UNION ALL SELECT * FROM bis)),
+                 idx AS (
+              SELECT bucket,
+                     CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT)
+                       AS ct,
+                     CAST(count(*) AS BIGINT) AS cr
+              FROM grams WHERE doc_id < 400 GROUP BY bucket),
+                 tot AS (
+              SELECT CAST(sum(ct) AS BIGINT) AS t_t,
+                     CAST(sum(cr) AS BIGINT) AS t_r FROM idx)
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(coalesce(i.ct, 0) + 1) AS BIGINT) AS s_target,
+                   CAST(sum(coalesce(i.cr, 0) + 1) AS BIGINT) AS s_raw,
+                   CAST(CAST(sum(coalesce(i.ct, 0) + 1) AS BIGINT)
+                        * ((SELECT t_r FROM tot) + 4096) AS DOUBLE)
+                     / CAST(CAST(sum(coalesce(i.cr, 0) + 1) AS BIGINT)
+                        * ((SELECT t_t FROM tot) + 4096) AS DOUBLE)
+                     AS importance
+            FROM grams g LEFT JOIN idx i USING (bucket)
+            WHERE g.doc_id >= 400
+            GROUP BY g.doc_id
         """,
         "vocab_coverage": """
             WITH toks AS (

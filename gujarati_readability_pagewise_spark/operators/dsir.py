@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from .dedup import stable_hash64
 
-__all__ = ["dsir_importance"]
+__all__ = ["dsir_importance", "dsir_index", "dsir_importance_incremental"]
 
 
 def _gram_buckets(docs: DataFrame, text_col: str, key_col: str, n_buckets: int) -> DataFrame:
@@ -102,6 +102,79 @@ def dsir_importance(
         )
         .crossJoin(F.broadcast(tt))
         .crossJoin(F.broadcast(tr))
+    )
+    return scored.select(
+        key_col,
+        "n_grams",
+        "s_target",
+        "s_raw",
+        (
+            (d(F.col("s_target")) * d(F.col("t_r") + n_buckets)).cast("double")
+            / (d(F.col("s_raw")) * d(F.col("t_t") + n_buckets)).cast("double")
+        ).alias("importance"),
+    )
+
+
+def dsir_index(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """The stored DSIR estimator: one row per hashed-gram bucket with its
+    target and raw occurrence counts — ``(bucket, ct, cr)``.
+
+    Fit ONCE over the reference corpora and persist (≤ ``n_buckets``
+    rows); daily snapshots are then scored against it by
+    :func:`dsir_importance_incremental` without ever re-reading the
+    corpus — the same fit-once/score-streams split the incremental dedup
+    family uses (window_hash_index, lsh_cross_candidates).  Totals are
+    re-derived from the index by summation (exact integers), so the
+    index is self-contained.
+    """
+    raw_grams = _gram_buckets(docs, text_col, key_col, n_buckets)
+    tgt_grams = _gram_buckets(target, text_col, key_col, n_buckets)
+    ct = tgt_grams.groupBy("bucket").agg(F.count("*").alias("ct"))
+    cr = raw_grams.groupBy("bucket").agg(F.count("*").alias("cr"))
+    return (
+        cr.join(ct, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).cast("long").alias("ct"),
+            F.col("cr").cast("long"),
+        )
+    )
+
+
+def dsir_importance_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Score a NEW snapshot against a stored :func:`dsir_index` — the
+    deployment shape of DSIR (fit the importance estimator once, stream
+    every incoming crawl snapshot through it); cost ∝ snapshot, never
+    corpus.  Same output contract and linearized ratio as
+    :func:`dsir_importance`; buckets the index never saw score with the
+    add-one smoothing floor (ct=cr=0), exactly as an unseen gram should.
+    """
+    grams = _gram_buckets(new_docs, text_col, key_col, n_buckets)
+    totals = index.agg(
+        F.sum("ct").alias("t_t"), F.sum("cr").alias("t_r")
+    )
+    d = lambda c: c.cast("decimal(38,0)")
+    scored = (
+        grams.join(F.broadcast(index), "bucket", "left")
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("ct"), F.lit(0)) + 1).alias("s_target"),
+            F.sum(F.coalesce(F.col("cr"), F.lit(0)) + 1).alias("s_raw"),
+        )
+        .crossJoin(F.broadcast(totals))
     )
     return scored.select(
         key_col,

@@ -810,3 +810,39 @@ def test_dsir_importance_matches_python_reference(spark):
     assert got == exp
     # target-vocabulary docs outrank the off-target doc
     assert got[0][3] > got[2][3] and got[1][3] > got[4][3]
+
+
+def test_dsir_incremental_consistency_with_batch(spark):
+    """Scoring a snapshot against dsir_index(base, target) must equal the
+    batch dsir_importance whenever snapshot == base (the index is a
+    faithful factorization), and unseen-bucket snapshots must score with
+    the smoothing floor instead of failing."""
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.operators.dsir import (
+        dsir_importance,
+        dsir_importance_incremental,
+        dsir_index,
+    )
+
+    rows = [
+        (0, "alpha beta gamma alpha", "t"),
+        (1, "alpha beta delta", "t"),
+        (2, "delta epsilon zeta", "r"),
+        (3, "alpha zeta zeta", "r"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "grp"]))
+    target = docs.filter("grp = 't'")
+    idx = dsir_index(docs, target, n_buckets=64)
+    batch = sorted(map(tuple, dsir_importance(docs, target, n_buckets=64).collect()))
+    inc = sorted(
+        map(tuple, dsir_importance_incremental(docs, idx, n_buckets=64).collect())
+    )
+    assert inc == batch
+    fresh = spark.createDataFrame(
+        pd.DataFrame([(9, "totally unseen tokens", "x")], columns=["doc_id", "text", "grp"])
+    )
+    r = dsir_importance_incremental(fresh, idx, n_buckets=64).collect()
+    # 5 grams (3 unigrams + 2 bigrams), all at the smoothing floor IF their
+    # hashed buckets are empty in the index — at minimum the score is finite
+    assert len(r) == 1 and r[0]["n_grams"] == 5 and r[0]["importance"] > 0
