@@ -1356,12 +1356,14 @@ def q_streaming_windowed_counts(spark, sf):
     # per-pid fixed scratch root, cleaned up front: re-invocations reuse
     # one directory instead of leaking a fresh mkdtemp per run
     src = os.path.join(tempfile.gettempdir(), f"graft_stream_src_{os.getpid()}")
-    shutil.rmtree(src, ignore_errors=True)
-    os.makedirs(src, exist_ok=True)
-    pages_from_documents(spark, sf).write.mode("overwrite").parquet(src)
+    # stop any still-active prior run of this query BEFORE touching
+    # the shared per-pid scratch root it may be reading
     for q in spark.streams.active:
         if q.name == "graft_stream_win":
             q.stop()
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    pages_from_documents(spark, sf).write.mode("overwrite").parquet(src)
     counts = windowed_host_counts(stream_pages(spark, src), window="30 minutes")
     sq = (
         counts.writeStream.format("memory")
@@ -1670,6 +1672,11 @@ def q_streaming_dedup_urls(spark, sf):
     src = os.path.join(
         tempfile.gettempdir(), f"graft_stream_dedup_{os.getpid()}"
     )
+    # stop any still-active prior run of this query BEFORE touching
+    # the shared per-pid scratch root it may be reading
+    for q in spark.streams.active:
+        if q.name == "graft_stream_dedup":
+            q.stop()
     shutil.rmtree(src, ignore_errors=True)
     os.makedirs(src, exist_ok=True)
     docs = load_table(spark, sf, "documents")
@@ -1690,9 +1697,6 @@ def q_streaming_dedup_urls(spark, sf):
         F.col("lang"),
     )
     pages.write.mode("overwrite").parquet(src)
-    for q in spark.streams.active:
-        if q.name == "graft_stream_dedup":
-            q.stop()
     deduped = dedup_recrawls(stream_pages(spark, src), horizon="100000 hours")
     sq = (
         deduped.writeStream.format("memory")
@@ -2765,14 +2769,16 @@ def q_streaming_anomalies(spark, sf):
     )
     planted = ev.select("event_id", "ts", "event_type").unionByName(burst)
     root = os.path.join(tempfile.gettempdir(), f"graft_monitor_scratch_{os.getpid()}")
+    # stop any still-active prior run of this query BEFORE touching
+    # the shared per-pid scratch root it may be reading
+    for q in spark.streams.active:
+        if q.name == "graft_stream_monitor":
+            q.stop()
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     state = os.path.join(root, "state")
     os.makedirs(src, exist_ok=True)
     planted.repartition(12).write.mode("overwrite").parquet(src)
-    for q in spark.streams.active:
-        if q.name == "graft_stream_monitor":
-            q.stop()
     stream = (
         spark.readStream.schema("event_id bigint, ts timestamp, event_type string")
         .option("maxFilesPerTrigger", 4)
@@ -2994,14 +3000,16 @@ def q_streaming_schedule(spark, sf):
     root = os.path.join(
         tempfile.gettempdir(), f"graft_schedule_scratch_{os.getpid()}"
     )
+    # stop any still-active prior run of this query BEFORE touching
+    # the shared per-pid scratch root it may be reading
+    for q in spark.streams.active:
+        if q.name == "graft_stream_schedule":
+            q.stop()
     shutil.rmtree(root, ignore_errors=True)
     src_dir = os.path.join(root, "src")
     state = os.path.join(root, "state")
     os.makedirs(src_dir, exist_ok=True)
     pages.repartition(12).write.mode("overwrite").parquet(src_dir)
-    for q in spark.streams.active:
-        if q.name == "graft_stream_schedule":
-            q.stop()
     stream = (
         spark.readStream.schema("doc_id bigint, host string")
         .option("maxFilesPerTrigger", 4)
@@ -3583,6 +3591,11 @@ def q_streaming_scd2(spark, sf):
     # DataFrame lazily reads {state}/history, so cleanup happens at the
     # NEXT call in this process, after the driver has collected this one.
     root = os.path.join(tempfile.gettempdir(), f"graft_scd2_scratch_{os.getpid()}")
+    # stop any still-active prior run of this query BEFORE touching
+    # the shared per-pid scratch root it may be reading
+    for q in spark.streams.active:
+        if q.name == "graft_stream_scd2":
+            q.stop()
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     state = os.path.join(root, "state")
@@ -3590,9 +3603,6 @@ def q_streaming_scd2(spark, sf):
     # 12 files -> several micro-batches at maxFilesPerTrigger=4, in
     # whatever order the file source lists them (the merge is order-free)
     log.repartition(12).write.mode("overwrite").parquet(src)
-    for q in spark.streams.active:
-        if q.name == "graft_stream_scd2":
-            q.stop()
     stream = (
         spark.readStream.schema("doc_id bigint, fetch_ts timestamp, fp string")
         .option("maxFilesPerTrigger", 4)
@@ -3628,14 +3638,16 @@ def q_streaming_curation(spark, sf):
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
     root = os.path.join(tempfile.gettempdir(), f"graft_curate_scratch_{os.getpid()}")
+    # stop any still-active prior run of this query BEFORE touching
+    # the shared per-pid scratch root it may be reading
+    for q in spark.streams.active:
+        if q.name == "graft_stream_curate":
+            q.stop()
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     state = os.path.join(root, "state")
     os.makedirs(src, exist_ok=True)
     docs.repartition(12).write.mode("overwrite").parquet(src)
-    for q in spark.streams.active:
-        if q.name == "graft_stream_curate":
-            q.stop()
     stream = (
         spark.readStream.schema("doc_id bigint, text string, source string")
         .option("maxFilesPerTrigger", 4)
@@ -3982,18 +3994,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS LOAD-BEARING: the round driver's correctness gate samples
     # the FIRST 50 entries of this dict (each CORRECTNESS_r* key set equals
     # its era's first 50).  Round-5 rotation policy: (1) every query whose
-    # code or oracle changed this round leads (the 14 entries through
-    # multimodal_features — monitor densification, curation pair-semantics,
-    # ExactSubstr head_k, packing, streaming hygiene, feature-kernel fused
-    # passes), then (2) the stale-witness backlog — queries whose newest
+    # code or oracle changed this round leads (monitor densification,
+    # curation pair-semantics, ExactSubstr head_k, packing incl. the
+    # string-key form, streaming hygiene, feature-kernel fused passes,
+    # and the round-5 additions dsir_select/bpe_merges/tpch_q11/tpch_q20/
+    # streaming_schedule/host_blocklist/dsir_incremental), then (2) the
+    # stale-witness backlog — queries whose newest
     # green driver row is r03 or older, oldest first — fills the window to
     # 50.  The remaining stale entries sit at positions 51+ and rotate
     # forward next round.  Everything past position 50 stays enforced by
-    # the full local gate (tools/verify_contract.py, 127/127) and pytest.
+    # the full local gate (tools/verify_contract.py, 133/133) and pytest.
     return {
         "volume_anomalies": q_volume_anomalies,
         "streaming_anomalies": q_streaming_anomalies,
-        # -- LLM-pipeline core (driver-witnessed r3) --
         "streaming_curation": q_streaming_curation,
         "dedup_exact_substr": q_dedup_exact_substr,
         "dedup_incremental_substr": q_dedup_incremental_substr,
@@ -4034,8 +4047,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_anti_join": q_j5_anti_join,
         "lang_distribution": q_lang_distribution,
         "min_price_supplier": q_min_price_supplier,
-        # ---- position 51+: driver-green in r01/r02; enforced by the ----
-        # ---- full local gate (tools/verify_contract.py) and pytest  ----
         "o1_multi_sort": q_o1_multi_sort,
         "o2_sort_by_agg": q_o2_sort_by_agg,
         "o3_sorted_distinct": q_o3_sorted_distinct,
@@ -4044,6 +4055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_counts": q_rollup_counts,
         "sessionization": q_sessionization,
         "similarity_topk": q_similarity_topk,
+        # ---- position 51+: outside the driver's 50-query sample window;
+        # ---- enforced by the full local gate (133/133) and pytest ----
         "text_quality": q_text_quality,
         "text_token_count": q_text_token_count,
         "tpch_q1": q_tpch_q1,
@@ -4067,7 +4080,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_topk_indices": q_w3_topk_indices,
         "w4_running_sum": q_w4_running_sum,
         "a5b_auc": q_a5b_auc,
-        # -- new in round 3 --
         "asof_join": q_asof_join,
         "bigram_fluency": q_bigram_fluency,
         "dedup_incremental": q_dedup_incremental,
@@ -4092,7 +4104,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q19": q_tpch_q19,
-        # -- rotate a few legacy queries through the remaining window slots --
         "url_canonicalize": q_url_canonicalize,
         "corpus_curation": q_corpus_curation,
         "crawl_schedule": q_crawl_schedule,
@@ -4123,7 +4134,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_recall": q_similarity_lsh_recall,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "tpch_q10": q_tpch_q10,
-        # -- new in round 4 --
         "tpch_q2": q_tpch_q2,
         "tpch_q21": q_tpch_q21,
         "tpch_q7": q_tpch_q7,

@@ -304,6 +304,12 @@ def main() -> None:
             k: int(v) for k, v in rel.items()
             if k.startswith("n_")
         },
+        # per-stage wall times from run_release's _stage() timers — a slow
+        # release run names its stage right here in the artifact
+        "stages_sec": {
+            k: round(float(v), 3) for k, v in rel.items()
+            if k.startswith("t_")
+        },
     }
     queries["release_e2e"] = release_row["wall_sec"]
     shutil.rmtree(release_root, ignore_errors=True)

@@ -124,15 +124,7 @@ def interval_join_bucketed(
     if how not in ("inner", "left"):
         raise ValueError("interval_join_bucketed supports inner|left")
     b = F.lit(bucket_seconds)
-    # The left path rebuilds never-matched points by anti-joining on a
-    # SYNTHETIC unique row id, never the full point-column tuple: join
-    # equality is null-rejecting, so a matched point carrying a NULL in
-    # any payload column would survive a full-tuple anti-join and appear
-    # twice (once matched, once NULL-padded).  The id also keeps
-    # duplicate identical point rows distinct.  Both branches below
-    # derive from the SAME tagged plan, so the per-row ids agree.
-    tagged = points.withColumn("_pid", F.monotonically_increasing_id())
-    pb = tagged.withColumn(
+    pb = points.withColumn(
         "_bkt", (F.floor(F.unix_timestamp(F.col(ts_col)) / b)).cast("long")
     )
     ib = intervals.withColumn(
@@ -146,10 +138,26 @@ def interval_join_bucketed(
     )
     cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
     if how == "inner":
-        return pb.join(ib, "_bkt").filter(cond).drop("_bkt", "_pid")
+        return pb.join(ib, "_bkt").filter(cond).drop("_bkt")
     matched = pb.join(ib, "_bkt").filter(cond).drop("_bkt")
-    # left: union matched with never-matched points carrying NULLs
-    never = tagged.join(matched.select("_pid"), "_pid", "left_anti")
+    # left: union matched with never-matched points carrying NULLs.  The
+    # anti-join uses NULL-SAFE equality on the full point tuple: plain
+    # join equality is null-rejecting, so a matched point carrying a NULL
+    # payload column would survive the anti-join and appear twice (once
+    # matched, once NULL-padded).  The full-tuple form is also correct
+    # for duplicate identical point rows — if such a row matches, BOTH
+    # copies appear in `matched` and both are removed here; if not, both
+    # survive — and unlike a synthetic monotonically_increasing_id it
+    # never assumes two evaluations of an uncached plan assign rows the
+    # same ids (task retries / nondeterministic upstream ordering break
+    # that).
+    mm = matched.select(*points.columns).distinct().alias("m")
+    pp = points.alias("p")
+    anti_cond = None
+    for c in points.columns:
+        eq = F.col(f"p.{c}").eqNullSafe(F.col(f"m.{c}"))
+        anti_cond = eq if anti_cond is None else (anti_cond & eq)
+    never = pp.join(mm, anti_cond, "left_anti")
     for c in [c for c in ib.columns if c not in points.columns + ["_bkt"]]:
         never = never.withColumn(c, F.lit(None))
-    return matched.unionByName(never.select(matched.columns)).drop("_pid")
+    return matched.unionByName(never.select(matched.columns))

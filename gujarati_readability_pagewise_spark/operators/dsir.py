@@ -137,12 +137,16 @@ def dsir_index(
     tgt_grams = _gram_buckets(target, text_col, key_col, n_buckets)
     ct = tgt_grams.groupBy("bucket").agg(F.count("*").alias("ct"))
     cr = raw_grams.groupBy("bucket").agg(F.count("*").alias("cr"))
+    # FULL outer: in the canonical deployment the target is a SEPARATE
+    # curated corpus, so buckets can exist on either side alone — a left
+    # join would silently drop target-only buckets (and their t_t mass),
+    # skewing every later snapshot score
     return (
-        cr.join(ct, "bucket", "left")
+        cr.join(ct, "bucket", "full")
         .select(
             "bucket",
             F.coalesce("ct", F.lit(0)).cast("long").alias("ct"),
-            F.col("cr").cast("long"),
+            F.coalesce("cr", F.lit(0)).cast("long").alias("cr"),
         )
     )
 

@@ -67,20 +67,44 @@ def pack_sequences(
     elif key_dtype == "string":
         # approxQuantile is numeric-only, but string keys (urls, doc ids)
         # are the common corpus case: range-bucket on an order-monotone
-        # numeric surrogate — the first 7 UTF-8 bytes as a big-endian
-        # integer, zero-padded on the right so shorter keys stay below
-        # their extensions ("ab" < "abc").  Surrogate order == UTF-8 byte
-        # order, so the within-bucket window orders by the BINARY
-        # encoding (Spark binary comparison is unsigned-lexicographic),
-        # keeping the bucket split and the intra-bucket order mutually
-        # consistent for every script, where UTF-16 string order would
-        # disagree with the surrogate around supplementary codepoints.
-        # Surrogate ties (shared 7-byte prefix) land in one bucket and
-        # resolve inside its window.
+        # numeric surrogate — 7 UTF-8 bytes as a big-endian integer,
+        # zero-padded on the right so shorter keys stay below their
+        # extensions ("ab" < "abc").  The surrogate skips the corpus-wide
+        # COMMON PREFIX first: url corpora share "https://…" so the
+        # leading bytes carry zero information and the raw first-7-bytes
+        # surrogate would collapse every key into one bucket — the exact
+        # single-partition window this bucketing exists to prevent.  For
+        # binary order the common prefix of ALL keys equals the common
+        # prefix of min(key) and max(key) — two scalar aggregates, one
+        # tiny job.  Surrogate order == UTF-8 byte order, so the
+        # within-bucket window orders by the BINARY encoding (Spark
+        # binary comparison is unsigned-lexicographic), keeping the
+        # bucket split and the intra-bucket order mutually consistent for
+        # every script, where UTF-16 string order would disagree with the
+        # surrogate around supplementary codepoints.  Surrogate ties
+        # (shared prefix past the skip) land in one bucket and resolve
+        # inside its window.
         order_key = F.encode(F.col(key_col), "UTF-8")
+        mn, mx = docs.agg(
+            F.min(F.encode(F.col(key_col), "UTF-8")),
+            F.max(F.encode(F.col(key_col), "UTF-8")),
+        ).first()
+        skip = 0
+        if mn is not None and mx is not None:
+            mn_b, mx_b = bytes(mn), bytes(mx)
+            while (
+                skip < len(mn_b)
+                and skip < len(mx_b)
+                and mn_b[skip] == mx_b[skip]
+            ):
+                skip += 1
         quant_key = F.conv(
-            F.rpad(F.hex(F.substring(F.encode(F.col(key_col), "UTF-8"), 1, 7)),
-                   14, "0"),
+            F.rpad(
+                F.hex(
+                    F.substring(F.encode(F.col(key_col), "UTF-8"), skip + 1, 7)
+                ),
+                14, "0",
+            ),
             16, 10,
         ).cast("double")
     else:

@@ -628,9 +628,23 @@ def test_pack_sequences_string_keys(spark):
         pack_sequences,
     )
 
+    # every key shares a >7-byte prefix ("https://h"): a surrogate built
+    # from the FIRST 7 bytes would collapse the whole corpus into one
+    # range bucket (single-partition window); the common-prefix skip must
+    # keep the surrogates spread
     rows = [(f"https://h{i % 13}.example/p{i:04d}", "tok " * (i % 37))
             for i in range(300)]
     rows += [("https://h1.example/p0003x", "a b c")]  # prefix-extension pair
+    keys = [r[0].encode() for r in rows]
+    mn, mx = min(keys), max(keys)
+    skip = 0
+    while skip < min(len(mn), len(mx)) and mn[skip] == mx[skip]:
+        skip += 1
+    assert skip > 7  # the collapse case the prefix skip exists for
+    surrogates = {
+        int.from_bytes(k[skip:skip + 7].ljust(7, b"\x00"), "big") for k in keys
+    }
+    assert len(surrogates) > 8  # spread across range buckets again
     df = spark.createDataFrame(rows, "doc_id string, text string")
     got = {
         r["doc_id"]: (r["n_tokens"], r["cum_before"])

@@ -90,6 +90,9 @@ def main() -> int:
     scope_out = None
     if "--scope-out" in args:
         i = args.index("--scope-out")
+        if i + 1 >= len(args):
+            print(__doc__)
+            return 2
         scope_out = args[i + 1]
         args = args[:i] + args[i + 2:]
     sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
