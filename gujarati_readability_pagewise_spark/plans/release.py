@@ -119,8 +119,14 @@ def run_release(
     )
     verified = jaccard_on_candidates_arrays(sh, cands, key_col)
     edges = verified.filter(F.col("jaccard") >= jaccard_threshold).select("a", "b")
-    clusters = connected_components(edges)
-    audit = cluster_representatives(clusters, cur.select(key_col, F.length(text_col).alias("n_chars")))
+    # connected_components emits its node column as 'doc_id' regardless of
+    # the corpus key; realign for string-keyed (url) corpora
+    clusters = connected_components(edges).withColumnRenamed("doc_id", key_col)
+    audit = cluster_representatives(
+        clusters,
+        cur.select(key_col, F.length(text_col).alias("n_chars")),
+        key_col=key_col,
+    )
     survivors = cur.join(
         audit.filter(F.col("is_survivor") == 1).select(key_col), key_col, "left_semi"
     ).persist()  # consumed by count + optional cutting + scrub/write/packing

@@ -143,3 +143,32 @@ def test_corpus_release_span_cutting_stage(spark, tmp_path):
     if 7 in kept and 23 in kept:  # both survived doc-level dedup
         assert para in kept[7]       # first occurrence keeps the paragraph
         assert para not in kept[23]  # later copy cut
+
+
+def test_corpus_release_string_keyed_corpus(spark, tmp_path):
+    """run_release on a URL-keyed corpus (key_col='url') — the release_job
+    shape the round-4 advice flagged: packing's string-key path must
+    carry the whole chain end to end, with coordinates matching the
+    UTF-8-binary-order prefix sum over the released docs."""
+    from pyspark.sql import functions as F
+
+    from gujarati_readability_pagewise_spark.plans.release import run_release
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = base.filter(F.col("doc_id") < 80).select(
+        F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    out = str(tmp_path / "rel_url")
+    res = run_release(spark, docs, out, key_col="url", job_id="rel-url")
+    assert res["n_released"] > 0
+    rel = spark.read.parquet(f"{out}/released").select(
+        "url", "text", "cum_before"
+    ).collect()
+    acc = 0
+    for r in sorted(rel, key=lambda r: r["url"].encode("utf-8")):
+        assert r["cum_before"] == acc
+        acc += 0 if not r["text"].strip() else len(r["text"].split())

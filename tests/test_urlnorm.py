@@ -122,6 +122,7 @@ def test_host_block_flags_suffix_semantics(spark):
         (5, "example.org.evil.net"),   # blocked domain as PREFIX: not blocked
         (6, "blocked.com"),            # matches two blocklist rows (dup + apex)
         (7, "fine.example.net"),
+        (8, None),                     # NULL host: never matches, blocked 0
     ]
     df = spark.createDataFrame(rows, "doc_id long, host string")
     bl = spark.createDataFrame(
@@ -129,5 +130,5 @@ def test_host_block_flags_suffix_semantics(spark):
         "domain string",
     )
     out = {r["doc_id"]: r["blocked"] for r in host_block_flags(df, bl).collect()}
-    assert out == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0, 6: 1, 7: 0}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0, 6: 1, 7: 0, 8: 0}
     assert host_block_flags(df, bl).count() == len(rows)  # no row duplication
