@@ -2917,6 +2917,36 @@ def q_dsir_incremental(spark, sf):
     return dsir_importance_incremental(snap, idx, n_buckets=4096)
 
 
+def q_corpus_datasheet(spark, sf):
+    """Per-source corpus DATASHEET (Gebru et al.'s datasheet table for a
+    release): doc/token/char volumes, length spread, predicted-language
+    mix, distinct-content count, and the exact-duplicate rate — all
+    integers plus one float division, engine-exact, one map-combinable
+    rollup per source.  The oracle re-derives the lang classifier, the
+    token rule, and the digest distinct."""
+    from gujarati_readability_pagewise_spark.functions.textstats import (
+        corpus_datasheet,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return corpus_datasheet(docs).orderBy("source")
+
+
+def q_training_order(spark, sf):
+    """Reproducible per-epoch training order: every doc's position under
+    the deterministic epoch reshuffle (stable hash of key + epoch salt) —
+    the dataloader coordinates a restart or a second worker re-derives
+    exactly.  Global rank per epoch via STATIC 2^60-range hash buckets
+    (no approxQuantile, no single-partition window); the oracle is the
+    direct per-epoch row_number over the same hash."""
+    from gujarati_readability_pagewise_spark.operators.sampling import (
+        training_order,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return training_order(docs, n_epochs=2)
+
+
 def q_vocab_coverage(spark, sf):
     """Tokenizer-budget analysis: top-100 corpus vocabulary with the
     cumulative coverage curve (share of all token occurrences captured by
@@ -4027,6 +4057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_blocklist": q_host_blocklist,
         "sequence_packing_url": q_sequence_packing_url,
         "dsir_incremental": q_dsir_incremental,
+        "corpus_datasheet": q_corpus_datasheet,
+        "training_order": q_training_order,
         "a10_json_param_mean": q_a10_json_param_mean,
         "a1_class_distribution": q_a1_class_distribution,
         "a2_host_summary": q_a2_host_summary,
@@ -4770,6 +4802,55 @@ def oracle_sql() -> dict[str, str]:
             FROM grams g LEFT JOIN idx i USING (bucket)
             WHERE g.doc_id >= 400
             GROUP BY g.doc_id
+        """,
+        "corpus_datasheet": """
+            WITH base AS (
+              SELECT source, doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE CAST(len(regexp_split_to_array(trim(text),
+                                    '\\s+')) AS BIGINT) END AS tok,
+                     CAST(length(text) AS BIGINT) AS chars,
+                     CASE
+                       WHEN (length(text) - length(regexp_replace(text, '[઀-૿]', '', 'g')))::DOUBLE
+                            / greatest(length(text), 1) > 0.3 THEN 'gu'
+                       WHEN (length(text) - length(regexp_replace(text, '[ऀ-ॿ]', '', 'g')))::DOUBLE
+                            / greatest(length(text), 1) > 0.3 THEN 'hi'
+                       WHEN (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
+                            / greatest(length(text), 1) > 0.4 THEN 'en'
+                       ELSE 'und' END AS lang_pred,
+                     md5(text) AS digest
+              FROM documents)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS n_tokens,
+                   CAST(sum(chars) AS BIGINT) AS n_chars,
+                   min(chars) AS min_chars,
+                   max(chars) AS max_chars,
+                   CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_en,
+                   CAST(sum(CASE WHEN lang_pred = 'gu' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_gu,
+                   CAST(sum(CASE WHEN lang_pred = 'hi' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_hi,
+                   CAST(sum(CASE WHEN lang_pred = 'und' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_und,
+                   CAST(count(DISTINCT digest) AS BIGINT) AS n_unique_texts,
+                   CAST(count(*) - count(DISTINCT digest) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS dup_rate
+            FROM base GROUP BY source ORDER BY source
+        """,
+        "training_order": """
+            WITH t AS (
+              SELECT d.doc_id, e.epoch,
+                     ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#ep'
+                          || CAST(e.epoch AS VARCHAR)), 1, 15))::BIGINT AS h
+              FROM documents d,
+                   (SELECT unnest([0, 1]) AS epoch) e)
+            SELECT doc_id, CAST(epoch AS INT) AS epoch,
+                   CAST(row_number() OVER (PARTITION BY epoch
+                                           ORDER BY h, doc_id) - 1
+                     AS BIGINT) AS position
+            FROM t
         """,
         "vocab_coverage": """
             WITH toks AS (

@@ -171,3 +171,69 @@ def bpe_merge_candidates(
         "pair",
         "n_occurrences",
     )
+
+
+def corpus_datasheet(
+    docs,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    group_col: str = "source",
+):
+    """Per-source corpus DATASHEET — the one-table summary a corpus
+    release publishes (Datasheets for Datasets, Gebru et al.): doc and
+    whitespace-token volumes, length spread, predicted-language mix, and
+    the exact-duplicate rate, per source.
+
+    Everything is integers or one float division of integers, so the
+    sheet is engine-exact: token counts via size(split), language mix as
+    counts of the lang_id_expr classes, duplicate rate as
+    (docs − distinct digests) / docs over md5(text).  One map-combinable
+    aggregation per source — at 10^12 docs the only shuffle is the
+    per-source rollup (|sources| rows), plus the digest distinct which
+    shuffles digests, not text.
+    """
+    trimmed = F.trim(F.col(text_col))
+    n_tok = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("long")
+    lang = lang_id_expr(F.col(text_col))
+    base = docs.select(
+        F.col(group_col).alias("source_grp"),
+        F.col(key_col),
+        n_tok.alias("_tok"),
+        F.length(text_col).cast("long").alias("_chars"),
+        lang.alias("_lang"),
+        F.md5(F.col(text_col)).alias("_digest"),
+    )
+    return (
+        base.groupBy("source_grp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_tok").alias("n_tokens"),
+            F.sum("_chars").alias("n_chars"),
+            F.min("_chars").alias("min_chars"),
+            F.max("_chars").alias("max_chars"),
+            F.sum(F.when(F.col("_lang") == "en", 1).otherwise(0)).alias("n_en"),
+            F.sum(F.when(F.col("_lang") == "gu", 1).otherwise(0)).alias("n_gu"),
+            F.sum(F.when(F.col("_lang") == "hi", 1).otherwise(0)).alias("n_hi"),
+            F.sum(F.when(F.col("_lang") == "und", 1).otherwise(0)).alias("n_und"),
+            F.countDistinct("_digest").alias("n_unique_texts"),
+        )
+        .select(
+            F.col("source_grp").alias(group_col),
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "min_chars",
+            "max_chars",
+            "n_en",
+            "n_gu",
+            "n_hi",
+            "n_und",
+            "n_unique_texts",
+            (
+                (F.col("n_docs") - F.col("n_unique_texts")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+    )

@@ -189,3 +189,71 @@ def quality_weighted_sample(
         stable_order(F.col(key_col), seed), F.lit(1000000)
     )
     return df.filter(draw < p_fp)
+
+
+def training_order(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    n_epochs: int = 2,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Reproducible per-epoch training ORDER: for each epoch, every doc's
+    position under a deterministic reshuffle — the (epoch, position)
+    coordinates a pretraining dataloader replays identically across
+    restarts and workers (a rand()-seeded shuffle cannot be re-derived;
+    the stable hash can, by any engine).
+
+    Per epoch the order key is ``stable_hash64(key || '#ep' || epoch)``
+    (ties broken by the key), so each epoch is an independent uniform
+    permutation.  The global rank per epoch uses the distributed_rank
+    pattern with STATIC bucket boundaries: the hash is uniform on
+    [0, 2^60), so ``hash >> 54`` yields 64 equal-width range buckets with
+    no approxQuantile pass at all — rank inside each (epoch, bucket)
+    window, then add the epoch's prefix counts of earlier buckets (one
+    bounded aggregate, n_epochs x n_buckets rows, broadcast back).
+    Output: (key, epoch int, position long), position 0-based.
+    """
+    if n_buckets != 64:
+        raise ValueError("training_order uses static 2^60-range buckets; n_buckets must be 64")
+    spark = docs.sparkSession
+    epochs = spark.range(n_epochs).select(F.col("id").cast("int").alias("epoch"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(key_col).cast("string"),
+                    F.lit("#ep"),
+                    F.col("epoch").cast("string"),
+                )
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    t = (
+        docs.select(key_col)
+        .crossJoin(F.broadcast(epochs))
+        .withColumn("_h", h)
+        .withColumn("_bkt", F.expr("shiftright(_h, 54)").cast("int"))
+    )
+    sizes = {
+        (r["epoch"], r["_bkt"]): r["c"]
+        for r in t.groupBy("epoch", "_bkt").agg(F.count("*").alias("c")).collect()
+    }  # bounded: n_epochs x 64 rows
+    offsets, rows = {}, []
+    for e in range(n_epochs):
+        acc = 0
+        for b in range(64):
+            offsets[(e, b)] = acc
+            acc += int(sizes.get((e, b), 0))
+            rows.append((e, b, offsets[(e, b)]))
+    off = spark.createDataFrame(rows, "epoch int, _bkt int, _off bigint")
+    w = W.partitionBy("epoch", "_bkt").orderBy("_h", key_col)
+    return (
+        t.join(F.broadcast(off), ["epoch", "_bkt"])
+        .withColumn(
+            "position",
+            (F.row_number().over(w).cast("long") - 1 + F.col("_off")),
+        )
+        .select(key_col, "epoch", "position")
+    )

@@ -661,3 +661,28 @@ def test_pack_sequences_string_keys(spark):
             df.select(F.array(F.lit(1)).alias("doc_id"), "text"),
             key_col="doc_id",
         )
+
+
+def test_training_order_is_permutation_and_repartition_invariant(spark):
+    """Each epoch's positions must be an exact 0..n-1 permutation,
+    epochs must differ (independent reshuffles), and the coordinates
+    must be identical under repartitioning (restart determinism)."""
+    from gujarati_readability_pagewise_spark.operators.sampling import (
+        training_order,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = training_order(docs, n_epochs=2).collect()
+    n = docs.count()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = r["position"]
+    assert set(by_epoch) == {0, 1}
+    for e, m in by_epoch.items():
+        assert sorted(m.values()) == list(range(n))  # exact permutation
+    assert by_epoch[0] != by_epoch[1]  # epochs reshuffle independently
+    again = {
+        (r["doc_id"], r["epoch"]): r["position"]
+        for r in training_order(docs.repartition(16), n_epochs=2).collect()
+    }
+    assert all(again[(k, e)] == p for e, m in by_epoch.items() for k, p in m.items())
