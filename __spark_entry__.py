@@ -2947,6 +2947,28 @@ def q_training_order(spark, sf):
     return training_order(docs, n_epochs=2)
 
 
+def q_decontaminate_semantic(spark, sf):
+    """Embedding-space decontamination (the semantic sibling of the
+    n-gram decontaminate): corpus vectors with cosine >= 0.95 to ANY
+    held-out eval vector (vec_id < 20, broadcast) are flagged — catches
+    paraphrased eval leakage no 8-gram overlap sees.  The proven
+    engine-exact zip_with cosine form; one bounded pass per corpus row.
+    The tiny-broadcast BNL flag is adjudicated-benign (the eval side IS
+    the small side by design, same as decontaminate)."""
+    from gujarati_readability_pagewise_spark.operators.similarity import (
+        decontaminate_semantic,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    evals = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    out = decontaminate_semantic(corpus, evals, threshold=0.95)
+    return out.select(
+        "vec_id", "n_eval_hits", _r(F.col("max_cos")).alias("max_cos"),
+        "contaminated",
+    )
+
+
 def q_vocab_coverage(spark, sf):
     """Tokenizer-budget analysis: top-100 corpus vocabulary with the
     cumulative coverage curve (share of all token occurrences captured by
@@ -4059,6 +4081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_incremental": q_dsir_incremental,
         "corpus_datasheet": q_corpus_datasheet,
         "training_order": q_training_order,
+        "decontaminate_semantic": q_decontaminate_semantic,
         "a10_json_param_mean": q_a10_json_param_mean,
         "a1_class_distribution": q_a1_class_distribution,
         "a2_host_summary": q_a2_host_summary,
@@ -4851,6 +4874,31 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY h, doc_id) - 1
                      AS BIGINT) AS position
             FROM t
+        """,
+        "decontaminate_semantic": """
+            WITH e AS (SELECT vec_id AS eid, embedding AS evec
+                       FROM embeddings WHERE vec_id < 20),
+                 c AS (SELECT vec_id, embedding AS cvec
+                       FROM embeddings WHERE vec_id >= 20),
+                 pairs AS (
+              SELECT c.vec_id,
+                     list_sum(list_transform(list_zip(c.cvec, e.evec),
+                         p -> CAST(p[1] * p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(list_zip(c.cvec, c.cvec),
+                            p -> CAST(p[1] * p[2] AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(list_zip(e.evec, e.evec),
+                            p -> CAST(p[1] * p[2] AS DOUBLE))))) AS cos
+              FROM c CROSS JOIN e),
+                 agg AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_eval_hits,
+                     max(cos) AS mc
+              FROM pairs GROUP BY vec_id)
+            SELECT vec_id, n_eval_hits, round(mc, 4) AS max_cos,
+                   CAST(CASE WHEN n_eval_hits > 0 THEN 1 ELSE 0 END AS INT)
+                     AS contaminated
+            FROM agg
         """,
         "vocab_coverage": """
             WITH toks AS (

@@ -711,3 +711,48 @@ def semantic_dedup(
         )
     )
     return out
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    evals: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus vectors whose cosine
+    to ANY held-out eval vector reaches ``threshold`` — the semantic
+    sibling of the n-gram decontaminate (catches paraphrased or
+    reformatted eval leakage that no 8-gram overlap sees).
+
+    Deployment shape: eval suites are tiny (10^3–10^5 vectors), so the
+    eval side BROADCASTS and the scan is one bounded-constant pass per
+    corpus row — the same "small side drives the join" rule as the
+    n-gram decontaminate; at extreme eval sizes the LSH-bucketed
+    near-pair path (lsh_near_pairs / lsh_topk) is the refinement and this
+    expression stays as its verify step.  Cosine uses the proven
+    engine-exact zip_with/left-assoc form.  Output: one row per corpus
+    vector — (key, n_eval_hits, max_cos, contaminated 0/1).
+    """
+    e = evals.select(
+        F.col(key_col).alias("_eid"), F.col(vec_col).alias("_evec")
+    )
+    c = corpus.select(key_col, F.col(vec_col).alias("_cvec"))
+    cos = cosine(F.col("_cvec"), F.col("_evec"))
+    hits = (
+        c.join(F.broadcast(e))
+        .select(key_col, cos.alias("_cos"))
+        .groupBy(key_col)
+        .agg(
+            F.sum(
+                F.when(F.col("_cos") >= threshold, 1).otherwise(0)
+            ).alias("n_eval_hits"),
+            F.max("_cos").alias("max_cos"),
+        )
+    )
+    return hits.select(
+        key_col,
+        "n_eval_hits",
+        "max_cos",
+        (F.col("n_eval_hits") > 0).cast("int").alias("contaminated"),
+    )
