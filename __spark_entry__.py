@@ -2969,6 +2969,48 @@ def q_decontaminate_semantic(spark, sf):
     )
 
 
+def q_robots_filter(spark, sf):
+    """Robots-compliance frontier filtering: per-host Disallow prefixes
+    extracted from deterministic planted robots.txt bodies, applied as a
+    higher-order exists over the host's rule array — one equi-join on
+    host, no LIKE nested loop (functions/robots; simplified grammar
+    documented there).  Hosts h0/h3 disallow /private and /tmp, h1 has
+    no rules, other hosts have no robots row; paths derive from doc ids
+    so every branch (blocked, allowed, ruleless host, missing host) is
+    exercised.  The oracle re-derives extraction and prefix tests."""
+    from gujarati_readability_pagewise_spark.functions.robots import (
+        parse_robots_rules,
+        robots_allowed,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    robots = spark.createDataFrame(
+        [
+            ("h0", "User-agent: *\nDisallow: /private\nDisallow: /tmp\n"),
+            ("h1", "User-agent: *\nAllow: /\n"),
+            ("h3", "Disallow: /private\n# mirror of h0 minus /tmp\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    fetches = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(5)).cast("string")).alias(
+            "host"
+        ),
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/private/p")).otherwise(
+                F.when(F.col("doc_id") % 3 == 1, F.lit("/tmp-cache/p")).otherwise(
+                    F.lit("/pub/p")
+                )
+            ),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    return robots_allowed(fetches, parse_robots_rules(robots)).select(
+        "doc_id", "host", "path", "allowed"
+    )
+
+
 def q_vocab_coverage(spark, sf):
     """Tokenizer-budget analysis: top-100 corpus vocabulary with the
     cumulative coverage curve (share of all token occurrences captured by
@@ -4082,6 +4124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datasheet": q_corpus_datasheet,
         "training_order": q_training_order,
         "decontaminate_semantic": q_decontaminate_semantic,
+        "robots_filter": q_robots_filter,
         "a10_json_param_mean": q_a10_json_param_mean,
         "a1_class_distribution": q_a1_class_distribution,
         "a2_host_summary": q_a2_host_summary,
@@ -4899,6 +4942,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN n_eval_hits > 0 THEN 1 ELSE 0 END AS INT)
                      AS contaminated
             FROM agg
+        """,
+        "robots_filter": """
+            WITH robots(host, robots_txt) AS (VALUES
+              ('h0', 'User-agent: *' || chr(10) || 'Disallow: /private'
+                     || chr(10) || 'Disallow: /tmp' || chr(10)),
+              ('h1', 'User-agent: *' || chr(10) || 'Allow: /' || chr(10)),
+              ('h3', 'Disallow: /private' || chr(10)
+                     || '# mirror of h0 minus /tmp' || chr(10))),
+                 rules AS (
+              SELECT host,
+                     regexp_extract_all(robots_txt,
+                       'Disallow:\s*(/\S*)', 1) AS dp
+              FROM robots),
+                 fetches AS (
+              SELECT doc_id,
+                     'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
+                     (CASE WHEN doc_id % 3 = 0 THEN '/private/p'
+                           WHEN doc_id % 3 = 1 THEN '/tmp-cache/p'
+                           ELSE '/pub/p' END)
+                       || CAST(doc_id AS VARCHAR) AS path
+              FROM documents)
+            SELECT f.doc_id, f.host, f.path,
+                   CAST(CASE WHEN len(list_filter(coalesce(r.dp, []),
+                                  p -> starts_with(f.path, p))) > 0
+                        THEN 0 ELSE 1 END AS INT) AS allowed
+            FROM fetches f LEFT JOIN rules r ON r.host = f.host
         """,
         "vocab_coverage": """
             WITH toks AS (

@@ -132,3 +132,45 @@ def test_host_block_flags_suffix_semantics(spark):
     out = {r["doc_id"]: r["blocked"] for r in host_block_flags(df, bl).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0, 6: 1, 7: 0, 8: 0}
     assert host_block_flags(df, bl).count() == len(rows)  # no row duplication
+
+
+def test_robots_rules_and_prefix_filter(spark):
+    """parse_robots_rules extracts every Disallow prefix (simplified
+    grammar: user-agent groups not distinguished); robots_allowed applies
+    STRING-prefix semantics (Disallow /tmp blocks /tmpfile, per RFC 9309
+    path matching) and fully allows ruleless or unknown hosts."""
+    from gujarati_readability_pagewise_spark.functions.robots import (
+        parse_robots_rules,
+        robots_allowed,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("h0", "User-agent: *\nDisallow: /private\nDisallow: /tmp\n"),
+            ("h1", "User-agent: *\nAllow: /\n"),
+            ("h2", "Disallow: /secret/area\n# comment\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = {r["host"]: r["disallow_prefixes"]
+             for r in parse_robots_rules(robots).collect()}
+    assert rules == {
+        "h0": ["/private", "/tmp"], "h1": [], "h2": ["/secret/area"],
+    }
+    fetches = spark.createDataFrame(
+        [
+            ("h0", "/private/p1"), ("h0", "/pub/p2"), ("h0", "/tmpfile"),
+            ("h1", "/private/p3"), ("h2", "/secret/area/x"),
+            ("h2", "/secret/are"), ("h9", "/anything"),
+        ],
+        "host string, path string",
+    )
+    out = {
+        (r["host"], r["path"]): r["allowed"]
+        for r in robots_allowed(fetches, parse_robots_rules(robots)).collect()
+    }
+    assert out == {
+        ("h0", "/private/p1"): 0, ("h0", "/pub/p2"): 1, ("h0", "/tmpfile"): 0,
+        ("h1", "/private/p3"): 1, ("h2", "/secret/area/x"): 0,
+        ("h2", "/secret/are"): 1, ("h9", "/anything"): 1,
+    }
