@@ -207,14 +207,19 @@ def training_order(
     (ties broken by the key), so each epoch is an independent uniform
     permutation.  The global rank per epoch uses the distributed_rank
     pattern with STATIC bucket boundaries: the hash is uniform on
-    [0, 2^60), so ``hash >> 54`` yields 64 equal-width range buckets with
+    [0, 2^60), so a right-shift yields ``n_buckets`` (a power of two)
+    equal-width range buckets with
     no approxQuantile pass at all — rank inside each (epoch, bucket)
     window, then add the epoch's prefix counts of earlier buckets (one
     bounded aggregate, n_epochs x n_buckets rows, broadcast back).
     Output: (key, epoch int, position long), position 0-based.
     """
-    if n_buckets != 64:
-        raise ValueError("training_order uses static 2^60-range buckets; n_buckets must be 64")
+    shift = 60 - (n_buckets.bit_length() - 1)
+    if n_buckets <= 0 or (n_buckets & (n_buckets - 1)) or not (0 <= shift <= 60):
+        raise ValueError(
+            "training_order uses static 2^60-range buckets; n_buckets must "
+            "be a power of two in [1, 2^60]"
+        )
     spark = docs.sparkSession
     epochs = spark.range(n_epochs).select(F.col("id").cast("int").alias("epoch"))
     h = F.conv(
@@ -234,16 +239,16 @@ def training_order(
         docs.select(key_col)
         .crossJoin(F.broadcast(epochs))
         .withColumn("_h", h)
-        .withColumn("_bkt", F.expr("shiftright(_h, 54)").cast("int"))
+        .withColumn("_bkt", F.expr(f"shiftright(_h, {shift})").cast("int"))
     )
     sizes = {
         (r["epoch"], r["_bkt"]): r["c"]
         for r in t.groupBy("epoch", "_bkt").agg(F.count("*").alias("c")).collect()
-    }  # bounded: n_epochs x 64 rows
+    }  # bounded: n_epochs x n_buckets rows
     offsets, rows = {}, []
     for e in range(n_epochs):
         acc = 0
-        for b in range(64):
+        for b in range(n_buckets):
             offsets[(e, b)] = acc
             acc += int(sizes.get((e, b), 0))
             rows.append((e, b, offsets[(e, b)]))
