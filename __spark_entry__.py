@@ -3011,6 +3011,25 @@ def q_robots_filter(spark, sf):
     )
 
 
+def q_embedding_pool(spark, sf):
+    """Chunk-to-doc embedding mean-pooling (4 chunks per synthetic doc):
+    per-component FIXED-POINT pooling — floor(v*1e6) integer sums, one
+    division — because float mean-pooling can never be engine-exact
+    (shuffle-order accumulation).  The gate row explodes the pooled
+    vector to scalar (group, pos, value) rows so the value hash covers
+    every component; the array reassembly is pytest-covered."""
+    from gujarati_readability_pagewise_spark.operators.similarity import (
+        pool_embeddings,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    chunks = emb.select(F.expr("vec_id div 4").alias("grp"), "embedding")
+    pooled = pool_embeddings(chunks, "grp")
+    return pooled.select(
+        "grp", "n_chunks", F.posexplode("pooled").alias("pos", "pooled_val")
+    )
+
+
 def q_vocab_coverage(spark, sf):
     """Tokenizer-budget analysis: top-100 corpus vocabulary with the
     cumulative coverage curve (share of all token occurrences captured by
@@ -4125,6 +4144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order": q_training_order,
         "decontaminate_semantic": q_decontaminate_semantic,
         "robots_filter": q_robots_filter,
+        "embedding_pool": q_embedding_pool,
         "a10_json_param_mean": q_a10_json_param_mean,
         "a1_class_distribution": q_a1_class_distribution,
         "a2_host_summary": q_a2_host_summary,
@@ -4968,6 +4988,22 @@ def oracle_sql() -> dict[str, str]:
                                   p -> starts_with(f.path, p))) > 0
                         THEN 0 ELSE 1 END AS INT) AS allowed
             FROM fetches f LEFT JOIN rules r ON r.host = f.host
+        """,
+        "embedding_pool": """
+            WITH q AS (
+              SELECT vec_id // 4 AS grp, t.i - 1 AS pos,
+                     CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000)
+                       AS BIGINT) AS qv
+              FROM embeddings,
+                   unnest(range(1, len(embedding) + 1)) t(i)),
+                 s AS (
+              SELECT grp, pos, CAST(sum(qv) AS BIGINT) AS sq,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM q GROUP BY grp, pos)
+            SELECT grp, n AS n_chunks, CAST(pos AS INT) AS pos,
+                   CAST(sq AS DOUBLE) / 1000000 / CAST(n AS DOUBLE)
+                     AS pooled_val
+            FROM s
         """,
         "vocab_coverage": """
             WITH toks AS (

@@ -756,3 +756,56 @@ def decontaminate_semantic(
         "max_cos",
         (F.col("n_eval_hits") > 0).cast("int").alias("contaminated"),
     )
+
+
+def pool_embeddings(
+    chunks: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Mean-pool chunk embeddings into one vector per group — the
+    standard doc-embedding construction when the encoder embeds
+    fixed-size chunks (long docs span several chunks; retrieval and
+    SemDeDup want ONE vector per doc).
+
+    Float mean-pooling cannot be engine-exact (per-position float sums
+    accumulate in shuffle order), so each component is pooled in FIXED
+    POINT: ``floor(v * scale)`` per chunk (floor, never round/cast —
+    both engines floor identically; DuckDB's INT cast rounds half-even
+    where Spark truncates), exact integer sums per (group, position),
+    then ONE float division by the chunk count.  The result is
+    bit-identical across engines and partitionings, at a quantization
+    error ≤ 1/scale per component — the int8 path (int8_quantize) shows
+    the same trade at coarser grain.
+
+    Scale shape: posexplode fans each vector into dim rows; the
+    (group, position) sums are map-side combinable, and the vector
+    reassembles with one sort_array over dim entries per group — state
+    bounded by dim, never by chunk count.  Output:
+    (group, n_chunks, pooled array<double>).
+    """
+    d = chunks.select(
+        F.col(group_col).alias("_grp"),
+        F.posexplode(F.col(vec_col)).alias("_pos", "_v"),
+    ).select(
+        # widen float32 components to DOUBLE before the scale multiply:
+        # a float32 product that is then widened floors differently than
+        # a double product (the list_dot_product parity lesson)
+        "_grp", "_pos",
+        F.floor(F.col("_v").cast("double") * scale).cast("long").alias("_q"),
+    )
+    sums = d.groupBy("_grp", "_pos").agg(
+        F.sum("_q").alias("_s"), F.count("*").alias("_n")
+    )
+    return (
+        sums.groupBy("_grp")
+        .agg(
+            F.max("_n").alias("n_chunks"),  # every position sees every chunk
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_s", "_n"))),
+                lambda x: x["_s"].cast("double") / scale / x["_n"].cast("double"),
+            ).alias("pooled"),
+        )
+        .select(F.col("_grp").alias(group_col), "n_chunks", "pooled")
+    )

@@ -846,3 +846,36 @@ def test_dsir_incremental_consistency_with_batch(spark):
     # 5 grams (3 unigrams + 2 bigrams), all at the smoothing floor IF their
     # hashed buckets are empty in the index — at minimum the score is finite
     assert len(r) == 1 and r[0]["n_grams"] == 5 and r[0]["importance"] > 0
+
+
+def test_pool_embeddings_reassembly_and_exactness(spark):
+    """pool_embeddings must reassemble components in position order, be
+    repartition-invariant (exact integer sums), and equal the naive
+    per-component fixed-point mean."""
+    import math
+
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.operators.similarity import (
+        pool_embeddings,
+    )
+
+    rows = [
+        (0, [0.1, -0.25, 3.0]),
+        (0, [0.2, 0.75, -1.0]),
+        (1, [1.5, 0.0, 0.5]),
+    ]
+    chunks = spark.createDataFrame(rows, "grp long, embedding array<double>")
+    out = {r["grp"]: (r["n_chunks"], list(r["pooled"]))
+           for r in pool_embeddings(chunks, "grp").collect()}
+    S = 1_000_000
+    exp0 = [
+        (math.floor(0.1 * S) + math.floor(0.2 * S)) / S / 2,
+        (math.floor(-0.25 * S) + math.floor(0.75 * S)) / S / 2,
+        (math.floor(3.0 * S) + math.floor(-1.0 * S)) / S / 2,
+    ]
+    assert out[0] == (2, exp0)
+    assert out[1][0] == 1 and len(out[1][1]) == 3
+    again = {r["grp"]: list(r["pooled"])
+             for r in pool_embeddings(chunks.repartition(8), "grp").collect()}
+    assert again[0] == out[0][1] and again[1] == out[1][1]
