@@ -3030,6 +3030,44 @@ def q_embedding_pool(spark, sf):
     )
 
 
+def q_quality_drift(spark, sf):
+    """Quality-DRIFT monitoring (the mean-shift sibling of the volume
+    z-rule): per-source hourly mean of the fixed-point quality score vs
+    its trailing 24-bucket mean, cross-multiplied to exact integers
+    (den·|S·Nt − St·n| > num·n·Nt, threshold in fixed-point score units:
+    1200 = 0.12 quality) — no float division, engine-exact
+    flags.  A drift is planted (the corpus's bucket 40 loses 0.2 of
+    quality) and must be flagged once trailing history exists; the
+    oracle re-derives the score, the dense bucket grid, and the rule."""
+    from gujarati_readability_pagewise_spark.functions.textstats import (
+        quality_score_expr,
+    )
+    from gujarati_readability_pagewise_spark.operators.monitor import (
+        metric_drift,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    # corpus-level key: at gate scale a per-source bucket holds <1 doc and
+    # every bucket "drifts"; one corpus stream gives ~10 docs/bucket so
+    # the planted bucket-40 shift stands out (keys scale out in prod —
+    # the window partitions by key)
+    sel = docs.select(
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.pmod(F.col("doc_id"), F.lit(48)) * 3600
+        ).alias("ts"),
+        F.lit("corpus").alias("grp"),
+        (
+            F.floor(quality_score_expr(F.col("text")) * 10000).cast("long")
+            - F.when(F.pmod(F.col("doc_id"), F.lit(48)) == 40, 2000).otherwise(0)
+        ).alias("score"),
+    )
+    return metric_drift(
+        sel, ts_col="ts", key_col="grp", score_col="score",
+        bucket_seconds=3600, trailing=24, min_trailing=8,
+        threshold_num=1200, threshold_den=1,
+    )
+
+
 def q_vocab_coverage(spark, sf):
     """Tokenizer-budget analysis: top-100 corpus vocabulary with the
     cumulative coverage curve (share of all token occurrences captured by
@@ -4145,6 +4183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_semantic": q_decontaminate_semantic,
         "robots_filter": q_robots_filter,
         "embedding_pool": q_embedding_pool,
+        "quality_drift": q_quality_drift,
         "a10_json_param_mean": q_a10_json_param_mean,
         "a1_class_distribution": q_a1_class_distribution,
         "a2_host_summary": q_a2_host_summary,
@@ -5004,6 +5043,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sq AS DOUBLE) / 1000000 / CAST(n AS DOUBLE)
                      AS pooled_val
             FROM s
+        """,
+        "quality_drift": """
+            WITH scored AS (
+              SELECT 'corpus' AS grp,
+                     1704067200 + (doc_id % 48) * 3600 AS tsec,
+                     CAST(floor(least(greatest(
+                       0.4 * (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0
+                                   WHEN length(text) >= 20 THEN 0.5 ELSE 0.0 END)
+                       + 0.4 * ((length(text) - length(regexp_replace(text,
+                              '[A-Za-z઀-૿ऀ-ॿ]', '', 'g')))::DOUBLE / greatest(length(text), 1))
+                       - 0.2 * ((length(text) - length(regexp_replace(text,
+                              '[0-9!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE / greatest(length(text), 1))
+                       + 0.2, 0.0), 1.0) * 10000) AS BIGINT)
+                     - (CASE WHEN doc_id % 48 = 40 THEN 2000 ELSE 0 END)
+                       AS score
+              FROM documents),
+                 counts AS (
+              SELECT grp AS key,
+                     CAST(tsec // 3600 AS BIGINT) * 3600 AS bucket_start,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(score) AS BIGINT) AS score_sum
+              FROM scored GROUP BY 1, 2),
+                 span AS (
+              SELECT key, min(bucket_start) AS lo, max(bucket_start) AS hi
+              FROM counts GROUP BY key),
+                 grid AS (
+              SELECT key, unnest(generate_series(lo, hi, 3600))
+                       AS bucket_start
+              FROM span),
+                 dense AS (
+              SELECT g.key, g.bucket_start,
+                     CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+                     CAST(coalesce(c.score_sum, 0) AS BIGINT) AS score_sum
+              FROM grid g LEFT JOIN counts c
+                ON g.key = c.key AND g.bucket_start = c.bucket_start),
+                 win AS (
+              SELECT key, bucket_start, n, score_sum,
+                     CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS w_n,
+                     CAST(coalesce(sum(score_sum) OVER w, 0) AS BIGINT)
+                       AS w_sum,
+                     CAST(count(n) OVER w AS BIGINT) AS w_buckets
+              FROM dense
+              WINDOW w AS (PARTITION BY key ORDER BY bucket_start
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+            SELECT key, bucket_start, n, score_sum, w_n, w_sum,
+                   CASE WHEN w_buckets >= 8 AND n > 0 AND w_n > 0
+                         AND 1 * abs(score_sum * w_n - w_sum * n)
+                             > 1200 * n * w_n
+                        THEN 1 ELSE 0 END AS is_drift
+            FROM win
         """,
         "vocab_coverage": """
             WITH toks AS (

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["volume_anomalies"]
+__all__ = ["volume_anomalies", "metric_drift"]
 
 
 def volume_anomalies(
@@ -122,4 +122,91 @@ def volume_anomalies(
         prior_sum.alias("sum_prior"),
         prior_sumsq.alias("sumsq_prior"),
         flag.cast("int").alias("is_anomaly"),
+    )
+
+
+def metric_drift(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "source",
+    score_col: str = "score",
+    bucket_seconds: int = 3600,
+    trailing: int = 24,
+    min_trailing: int = 8,
+    threshold_num: int = 1200,
+    threshold_den: int = 1,
+) -> DataFrame:
+    """Per-(key, bucket) MEAN-SHIFT detection over an integer metric —
+    the quality-drift monitor next to the volume monitor: a source whose
+    mean quality score moves more than ``threshold_num/threshold_den``
+    away from its trailing mean is an extractor regression, a template
+    change, or a spam wave.
+
+    ``score_col`` must be an INTEGER metric (fixed-point a float first:
+    ``floor(q * 10000)``) so the rule is exact: with bucket sum/count
+    (S, n) and trailing sums (St, Nt),
+
+        |S/n − St/Nt| > num/den   ⇔   den·|S·Nt − St·n| > num·n·Nt
+
+    where ``num/den`` is the drift threshold IN SCORE UNITS — for a
+    quality score fixed-pointed at 1e4, a 0.12-quality drift is
+    ``threshold_num=1200, threshold_den=1``
+
+    — evaluated in DECIMAL(38,0)/HUGEINT, no float division, so the
+    flag is bit-identical across engines and partitionings.  Buckets
+    densify per key exactly like :func:`volume_anomalies` (empty buckets
+    carry n=0 and are skipped by the flag: a mean over nothing is no
+    evidence, but the row is emitted so droughts stay visible).  Output:
+    (key, bucket_start, n, score_sum, w_n, w_sum, is_drift).
+    """
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds) * bucket_seconds
+    ).cast("long")
+    counts = (
+        events.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket_start"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(score_col).cast("long")).alias("score_sum"),
+        )
+    )
+    span = counts.groupBy("key").agg(
+        F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi")
+    )
+    grid = span.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(bucket_seconds))
+        ).alias("bucket_start"),
+    )
+    counts = (
+        grid.join(counts, ["key", "bucket_start"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)).cast("long"))
+        .withColumn(
+            "score_sum", F.coalesce(F.col("score_sum"), F.lit(0)).cast("long")
+        )
+    )
+    w = W.partitionBy("key").orderBy("bucket_start").rowsBetween(-trailing, -1)
+    w_n = F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    w_sum = F.coalesce(F.sum("score_sum").over(w), F.lit(0)).cast("long")
+    w_buckets = F.count("n").over(w).cast("long")
+    d = lambda c: c.cast("decimal(38,0)")
+    diff = d(F.col("score_sum")) * d(w_n) - d(w_sum) * d(F.col("n"))
+    flag = (
+        (w_buckets >= min_trailing)
+        & (F.col("n") > 0)
+        & (w_n > 0)
+        & (
+            threshold_den * F.abs(diff)
+            > threshold_num * d(F.col("n")) * d(w_n)
+        )
+    )
+    flag = F.coalesce(flag.cast("int"), F.lit(0))
+    return counts.select(
+        "key",
+        "bucket_start",
+        "n",
+        "score_sum",
+        w_n.alias("w_n"),
+        w_sum.alias("w_sum"),
+        flag.alias("is_drift"),
     )

@@ -686,3 +686,32 @@ def test_training_order_is_permutation_and_repartition_invariant(spark):
         for r in training_order(docs.repartition(16), n_epochs=2).collect()
     }
     assert all(again[(k, e)] == p for e, m in by_epoch.items() for k, p in m.items())
+
+
+def test_metric_drift_flags_planted_mean_shift_only(spark):
+    """The exact-integer mean-shift rule must flag a planted 0.2 quality
+    drop (2000 fixed-point units vs a 1200-unit threshold) and nothing
+    in the steady stream, deterministically under repartitioning."""
+    import pandas as pd
+
+    from gujarati_readability_pagewise_spark.operators.monitor import (
+        metric_drift,
+    )
+
+    base = 1_700_000_000
+    rows = []
+    for h in range(40):
+        for i in range(20):
+            score = 9000 + (i % 7) * 10          # steady ~9030
+            if h == 30:
+                score -= 2000                     # planted drift bucket
+            rows.append((pd.Timestamp(base + h * 3600 + i, unit="s"), "src", score))
+    ev = spark.createDataFrame(pd.DataFrame(rows, columns=["ts", "source", "score"]))
+    out = metric_drift(ev, key_col="source", score_col="score",
+                       trailing=24, min_trailing=8).collect()
+    flags = {r["bucket_start"]: r["is_drift"] for r in out}
+    assert flags[(base // 3600 + 30) * 3600] == 1
+    assert sum(flags.values()) == 1
+    again = metric_drift(ev.repartition(16), key_col="source",
+                         score_col="score", trailing=24, min_trailing=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
