@@ -115,14 +115,16 @@ _MASK_CACHE: dict[tuple, np.ndarray] = {}
 
 
 def _mask_table(patterns: dict[str, "re.Pattern"]) -> np.ndarray:
-    """All class tables packed into one uint8 bitmask table (bit b = class b)."""
+    """All class tables packed into one bitmask table (bit b = class b);
+    uint8 up to 8 classes, uint16 up to 16 — one gather serves them all."""
     key = tuple(patterns.values())
     tab = _MASK_CACHE.get(key)
     if tab is None:
-        assert len(patterns) <= 8
-        tab = np.zeros(_BMP, dtype=np.uint8)
+        assert len(patterns) <= 16
+        dtype = np.uint8 if len(patterns) <= 8 else np.uint16
+        tab = np.zeros(_BMP, dtype=dtype)
         for b, pat in enumerate(patterns.values()):
-            tab |= _table(pat).astype(np.uint8) << b
+            tab |= _table(pat).astype(dtype) << dtype(b)
         _MASK_CACHE[key] = tab
     return tab
 
@@ -138,16 +140,24 @@ class _CpView:
     position so shifted-neighbor logic never reads across a doc boundary.
     """
 
-    __slots__ = ("n", "lens", "cp", "cp_lo", "doc_id", "astral_idx", "starts")
+    __slots__ = ("n", "lens", "cp", "cp_lo", "doc_id", "astral_idx", "starts", "texts")
 
-    def __init__(self, t: pd.Series):
-        texts = t.tolist()
+    def __init__(self, t):
+        texts = t.tolist() if hasattr(t, "tolist") else list(t)
         self.n = len(texts)
+        self.texts = texts
         joined = "".join(texts)
         self.cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
         self.lens = np.array([len(s) for s in texts], dtype=np.int64)
-        self.astral_idx = np.nonzero(self.cp >= _BMP)[0]
-        self.cp_lo = np.where(self.cp >= _BMP, 0, self.cp)
+        # fast path: no astral codepoint in the batch (the overwhelmingly
+        # common case) — cp_lo aliases cp, skipping the where() copy and
+        # the astral index scan; one max() reduce decides it
+        if len(self.cp) == 0 or int(self.cp.max()) < _BMP:
+            self.astral_idx = np.empty(0, dtype=np.int64)
+            self.cp_lo = self.cp
+        else:
+            self.astral_idx = np.nonzero(self.cp >= _BMP)[0]
+            self.cp_lo = np.where(self.cp >= _BMP, 0, self.cp)
         # int32: a batch never holds 2^25+ docs, and the narrower repeat +
         # index arithmetic halves the memory traffic of the hot histogram
         self.doc_id = np.repeat(np.arange(self.n, dtype=np.int32), self.lens)
@@ -283,55 +293,124 @@ def _stopword_count(words: list[str]) -> int:
     return sum(1 for w in words if w.lower() in _STOPWORDS)
 
 
+# The histogram classes (exactly the dict `_class_counts` used) and a
+# second packed uint8 table for the scan classes: sentence runs, the
+# akshara grammar, and the whitespace bit for the word-boundary scan.
+# Two uint8 gathers per batch replace the three separate table lookups
+# (a packed uint16 variant measured SLOWER: every bit extraction then
+# runs 2-byte lanes with an extra astype pass; uint8 masks stay 1-byte
+# and 0/1 uint8 arrays can be `.view(bool)`-ed for free).
+_CLASS_PATTERNS = {
+    "punct": _PUNCT,
+    "digit": _DIGIT,
+    "guj": _GUJ,
+    "letter": _LETTER,
+    "guj_letter": _GUJ_LETTER,
+    "space": _SPACE,
+}
+_SCAN_PATTERNS = {
+    "sent": _SENT_CH,
+    "c": _C_CH,
+    "nukta": _NUKTA_CH,
+    "virama": _VIRAMA_CH,
+    "indep": _INDEP_CH,
+    "space": _SPACE,
+}
+
+
+def _astral_fix(combo: np.ndarray, view: _CpView, patterns: dict) -> None:
+    """Recompute the packed mask for each astral index (BMP table maps
+    them to chr(0) = no class; only classes that can match astral chars
+    — `letter` — ever flip a bit)."""
+    pats = list(patterns.values())
+    for i in view.astral_idx:
+        ch = chr(int(view.cp[i]))
+        m = 0
+        for b, pat in enumerate(pats):
+            if pat.fullmatch(ch) is not None:
+                m |= 1 << b
+        combo[i] = m
+
+
 def compute_features(texts: pd.Series) -> np.ndarray:
     """Vectorized kernel: Series[str] -> float64 array (len(texts), N_FEATURES).
 
-    All counting goes through pandas ``.str.count`` / ``.str.len`` (compiled
-    regex, C loop over the block) — no ``.apply(axis=1)``, no per-row Spark
-    UDF (input_hint mandate).
+    One utf-32 decode (`_CpView`) + two packed class-table gathers feed
+    the class histogram, the sentence-run count, the akshara cluster
+    count, and the word-boundary scan — no per-row Spark UDF (input_hint
+    mandate), no per-doc pandas ``.str`` loops.
     """
     t = texts.fillna("").astype(str)
     n = len(t)
     out = np.zeros((n, N_FEATURES), dtype=np.float64)
 
-    word_lists = t.str.split()
-    n_words = word_lists.str.len().fillna(0).to_numpy(dtype=np.float64)
-    # ONE codepoint decode of the batch feeds the class histogram, the
-    # sentence-run count, and the akshara cluster count — the three
-    # passes that used to re-walk the text independently.
+    # ONE codepoint decode of the batch feeds every per-character pass.
     view = _CpView(t)
-    n_sent = _sentence_counts(view)
-    cc = _class_counts(
-        t,
-        {
-            "punct": _PUNCT,
-            "digit": _DIGIT,
-            "guj": _GUJ,
-            "letter": _LETTER,
-            "guj_letter": _GUJ_LETTER,
-            "space": _SPACE,
-        },
-        view=view,
-    )
-    n_chars = cc["len"]
-    n_punct = cc["punct"]
-    n_digit = cc["digit"]
-    n_guj = cc["guj"]
-    n_letter = cc["letter"]
-    n_akshara = _akshara_counts(view)
+    starts = view.starts
+    doc_id = view.doc_id
+    n_chars = view.lens.astype(np.float64)
+    if len(view.cp):
+        # class histogram (identical bins to `_class_counts`:
+        # (doc_id << 6) | mask is a unique bin)
+        combo = _mask_table(_CLASS_PATTERNS)[view.cp_lo]  # uint8
+        if len(view.astral_idx):
+            _astral_fix(combo, view, _CLASS_PATTERNS)
+        hist = np.bincount(
+            doc_id * np.int32(64) + combo, minlength=n << 6
+        )
+        hist = hist.reshape(n, 64).astype(np.float64)
+        bitmat = ((np.arange(64)[:, None] >> np.arange(6)[None, :]) & 1).astype(
+            np.float64
+        )
+        counts = hist @ bitmat
+        n_punct = counts[:, 0]
+        n_digit = counts[:, 1]
+        n_guj = counts[:, 2]
+        n_letter = counts[:, 3]
+        n_guj_letter = counts[:, 4]
+        n_space = counts[:, 5]
+        # scan classes: one packed uint8 gather; 0/1 uint8 logic per bit
+        # (astral chars keep the chr(0) lookup = no scan class, exactly
+        # the semantics `_sentence_counts`/`_akshara_counts` pin)
+        m2 = _mask_table(_SCAN_PATTERNS)[view.cp_lo]  # uint8
+        # sentence runs: starts of maximal [.!?…।॥]+ runs
+        m_sent = m2 & 1
+        starts_run = m_sent & (1 - _prev(m_sent, starts))
+        n_sent = np.bincount(
+            doc_id[starts_run.view(np.bool_)], minlength=n
+        ).astype(np.float64)
+        # akshara cluster starts (same grammar as `_akshara_counts`)
+        is_c = (m2 & 2) >> 1
+        is_nukta = (m2 & 4) >> 2
+        is_virama = (m2 & 8) >> 3
+        is_indep = (m2 & 16) >> 4
+        prev_c = _prev(is_c, starts)
+        prev_nukta = _prev(is_nukta, starts)
+        prev2_c = _prev(prev_c, starts)
+        attached_virama = is_virama & (prev_c | (prev_nukta & prev2_c))
+        new_c = is_c & (1 - _prev(attached_virama, starts))
+        n_akshara = np.bincount(
+            doc_id[(new_c | is_indep).view(np.bool_)], minlength=n
+        ).astype(np.float64)
+        # word starts: non-whitespace char whose in-doc predecessor is
+        # whitespace (or doc start) — exactly `str.split()`'s token count
+        is_space = (m2 & 32) >> 5
+        word_start = (1 - is_space) & (_prev(is_space, starts) | starts)
+        wlens = np.bincount(doc_id[word_start.view(np.bool_)], minlength=n)
+        n_words = wlens.astype(np.float64)
+    else:
+        zero = np.zeros(n, dtype=np.float64)
+        n_punct = n_digit = n_guj = n_letter = n_guj_letter = n_space = zero
+        n_sent = n_akshara = n_words = zero
+        wlens = np.zeros(n, dtype=np.int64)
 
     # uniques / stopwords via one factorize over the batch's flat word
-    # stream: the per-unique-word work (set membership, .lower()) runs
-    # once per VOCABULARY entry (Zipf-small), not once per occurrence,
-    # and the per-doc sums are bincounts over integer codes.
-    flat: list[str] = []
-    wl_list = word_lists.tolist()
-    wlens = np.array(
-        [len(ws) if isinstance(ws, list) else 0 for ws in wl_list], dtype=np.int64
-    )
-    for ws in wl_list:
-        if isinstance(ws, list):
-            flat.extend(ws)
+    # stream: ONE `str.split` of the newline-joined batch replaces the
+    # per-doc pandas `.str.split` (tokens cannot fuse across docs — the
+    # separator is itself whitespace), `wlens` above assigns each token
+    # to its doc, and the per-unique-word work (set membership,
+    # `.lower()`) runs once per VOCABULARY entry (Zipf-small).
+    flat = "\n".join(view.texts).split()
     if flat:
         codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
         doc_of_word = np.repeat(np.arange(n, dtype=np.int64), wlens)
@@ -354,7 +433,7 @@ def compute_features(texts: pd.Series) -> np.ndarray:
     safe_sent = np.maximum(n_sent, 1.0)
     safe_letters = np.maximum(n_letter, 1.0)
 
-    nonspace = n_chars - cc["space"]
+    nonspace = n_chars - n_space
 
     out[:, 0] = n_chars
     out[:, 1] = n_words
@@ -362,7 +441,7 @@ def compute_features(texts: pd.Series) -> np.ndarray:
     out[:, 3] = n_akshara
     out[:, 4] = np.where(n_words > 0, n_unique / safe_words, 0.0)
     out[:, 5] = np.where(n_chars > 0, n_punct / safe_chars, 0.0)
-    out[:, 6] = np.where(n_letter > 0, cc["guj_letter"] / safe_letters, 0.0)
+    out[:, 6] = np.where(n_letter > 0, n_guj_letter / safe_letters, 0.0)
     out[:, 7] = np.where(n_chars > 0, n_digit / safe_chars, 0.0)
     out[:, 8] = np.where(n_words > 0, (nonspace - n_punct) / safe_words, 0.0)
     out[:, 9] = np.where(n_sent > 0, n_words / safe_sent, 0.0)
