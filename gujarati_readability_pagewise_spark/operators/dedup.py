@@ -551,6 +551,36 @@ def simhash_near_pairs(
     )
 
 
+# Skew-adaptive split (head_k="auto"): engage the broadcast-head branch
+# only when the hottest window hash would overload a shuffle partition.
+# The guide's skew rule of thumb is max/median >= 5-10x; we compare the
+# exact top-1 occurrence count (a 1-row peek at an aggregate the plan
+# already computes) against HOT_FACTOR x the mean partition load of the
+# join's row stream, with an absolute floor so toy inputs never split.
+HOT_FACTOR = 8
+HOT_MIN_ROWS = 65536
+DEFAULT_HEAD_K = 1024
+
+
+def _auto_head_k(spark, matches: DataFrame) -> int | None:
+    """Decide head_k from the observed hash-frequency skew.
+
+    ``matches`` must be persisted by the caller (it is the dup-hash table
+    the join consumes either way, so the peek materializes work the query
+    needs, not extra work).  Returns DEFAULT_HEAD_K when the top-1 count
+    exceeds HOT_FACTOR x max(dup_rows / defaultParallelism, HOT_MIN_ROWS)
+    — i.e. one key alone would dominate a shuffle partition — else None
+    (plain join, the r4 plan shape; the second window-stream explode of
+    the split is then never paid)."""
+    row = matches.agg(
+        F.max("cnt").alias("mx"), F.sum("cnt").alias("tot")
+    ).first()
+    mx = row["mx"] or 0
+    tot = row["tot"] or 0
+    parts = spark.sparkContext.defaultParallelism or 1
+    return DEFAULT_HEAD_K if mx > HOT_FACTOR * max(tot / parts, HOT_MIN_ROWS) else None
+
+
 def _split_hot_hash_join(
     wins: DataFrame, matches: DataFrame, head_k: int | None
 ) -> DataFrame:
@@ -588,7 +618,7 @@ def duplicate_spans(
     key_col: str = "doc_id",
     window: int = 40,
     n_partitions: int | None = None,
-    head_k: int | None = 1024,
+    head_k: int | None | str = "auto",
 ) -> DataFrame:
     """Exact duplicate SUBSTRING spans across the corpus — the
     suffix-array "ExactSubstr" dedup of Lee et al. 2021 (Deduplicating
@@ -626,6 +656,14 @@ def duplicate_spans(
     broadcast-head split (``head_k``, see :func:`_split_hot_hash_join`):
     the hottest hashes resolve map-side, value-identical to the plain
     join (``head_k=None``).
+
+    ``head_k="auto"`` (the default) makes the split SKEW-ADAPTIVE: the
+    dup-hash table is persisted (it is the join's build input either
+    way) and its exact top-1 occurrence count — one row off an aggregate
+    the plan already computes — decides plain join vs split (see
+    :func:`_auto_head_k`).  A no-skew corpus gets the plain two-explode
+    plan and never pays the split's second window-stream explode; a
+    Zipf-hot corpus engages the broadcast head exactly as before.
     """
     d = docs.select(key_col, text_col)
     if n_partitions:
@@ -645,8 +683,12 @@ def duplicate_spans(
         F.min(F.struct(key_col, "pos")).alias("first"),
         F.count("*").alias("cnt"),
     )
+    matches = firsts.filter(F.col("cnt") >= 2)
+    if head_k == "auto":
+        matches = _persist(matches)
+        head_k = _auto_head_k(docs.sparkSession, matches)
     dups = (
-        _split_hot_hash_join(wins, firsts.filter(F.col("cnt") >= 2), head_k)
+        _split_hot_hash_join(wins, matches, head_k)
         .filter(
             ~(
                 (F.col(key_col) == F.col(f"first.{key_col}"))
@@ -713,7 +755,7 @@ def duplicate_spans_incremental(
     key_col: str = "doc_id",
     window: int = 40,
     n_partitions: int | None = None,
-    head_k: int | None = 1024,
+    head_k: int | None | str = "auto",
 ) -> DataFrame:
     """Incremental ExactSubstr dedup: duplicate spans in a NEW snapshot
     against the stored corpus ``window_hash_index`` — the daily-ingest
@@ -749,8 +791,15 @@ def duplicate_spans_incremental(
         F.min(F.struct(key_col, "pos")).alias("first"),
         F.count("*").alias("cnt"),
     )
+    matches = firsts.filter(F.col("cnt") >= 2)
+    if head_k == "auto":
+        # same skew-adaptive decision as duplicate_spans; cheap here —
+        # `wins` is already persisted, so the stats pass re-aggregates
+        # cached rows rather than re-exploding the snapshot
+        matches = _persist(matches)
+        head_k = _auto_head_k(new_docs.sparkSession, matches)
     dups_new = (
-        _split_hot_hash_join(fresh, firsts.filter(F.col("cnt") >= 2), head_k)
+        _split_hot_hash_join(fresh, matches, head_k)
         .filter(
             ~(
                 (F.col(key_col) == F.col(f"first.{key_col}"))

@@ -754,6 +754,72 @@ def test_duplicate_spans_hot_hash_broadcast_head_split(spark):
     assert inc_split == inc_plain and len(inc_plain) > 0
 
 
+def test_duplicate_spans_auto_head_is_skew_adaptive(spark):
+    """head_k='auto' (the default) must (a) produce the PLAIN r4-shaped
+    join on a no-skew corpus — no broadcast-head branch, so the second
+    window-stream explode is never paid — and (b) engage the split when
+    the observed top-1 hash count crosses the skew rule, with values
+    identical to the forced-plain form in both regimes."""
+    import pandas as pd
+
+    import gujarati_readability_pagewise_spark.operators.dedup as D
+
+    boiler = "SUBSCRIBE-TO-OUR-NEWSLETTER-FOR-UPDATES!"  # exactly 40 chars
+    rows_flat, rows_hot = [], []
+    for i in range(200):
+        # bodies whose 40-char windows are unique per doc (two unique
+        # 40-hex blocks) so the ONLY shared hash is the planted boiler —
+        # the skew decision then sees mx ≈ tot, the planted regime
+        import hashlib
+
+        body = (
+            f"u{i:05d} "
+            + hashlib.md5(f"{i}a".encode()).hexdigest()
+            + hashlib.md5(f"{i}b".encode()).hexdigest()
+            + " "
+        )
+        rows_flat.append((i, f"unique body {i:05d} " + ("filler%05d " % (i * 7)) * 6))
+        if i % 4 == 0:
+            body = body[: 10 + (i % 5)] + boiler + body[10 + (i % 5):]
+        rows_hot.append((i, body))
+    flat = spark.createDataFrame(pd.DataFrame(rows_flat, columns=["doc_id", "text"]))
+    hot = spark.createDataFrame(pd.DataFrame(rows_hot, columns=["doc_id", "text"]))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved = (D.HOT_FACTOR, D.HOT_MIN_ROWS)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # (a) no skew: auto == plain, and the plan has NO broadcast head
+        p_auto = (
+            D.duplicate_spans(flat, window=40)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in p_auto, p_auto
+        auto_rows = sorted(map(tuple, D.duplicate_spans(flat, window=40).collect()))
+        plain_rows = sorted(
+            map(tuple, D.duplicate_spans(flat, window=40, head_k=None).collect())
+        )
+        assert auto_rows == plain_rows
+        # (b) planted hot hash + thresholds scaled to the toy corpus:
+        # the decision must flip to the broadcast-head split (mx ≈ tot
+        # here, so any factor ≥ 1 engages once the floor is toy-sized)
+        D.HOT_FACTOR, D.HOT_MIN_ROWS = 1, 1
+        p_hot = (
+            D.duplicate_spans(hot, window=40)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in p_hot, p_hot
+        hot_auto = sorted(map(tuple, D.duplicate_spans(hot, window=40).collect()))
+        hot_plain = sorted(
+            map(tuple, D.duplicate_spans(hot, window=40, head_k=None).collect())
+        )
+        assert hot_auto == hot_plain and len(hot_plain) >= 45  # 49 hot docs span
+    finally:
+        D.HOT_FACTOR, D.HOT_MIN_ROWS = saved
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.catalog.clearCache()
+
+
 def test_dsir_importance_matches_python_reference(spark):
     """dsir_importance must equal a pure-Python re-derivation of the
     hashed-bucket counts and linearized ratio on a toy corpus, and rank
