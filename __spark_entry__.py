@@ -1071,7 +1071,7 @@ def q_dedup_verified_pairs(spark, sf):
     cands = lsh_candidate_pairs(
         minhash_signatures(sh, "doc_id", n_hashes=16), "doc_id", bands=4
     )
-    verified = jaccard_on_candidates_arrays(sh, cands, "doc_id")
+    verified = jaccard_on_candidates_arrays(sh, cands, "doc_id", docs=docs)
     # no global orderBy: the driver's compare is order-insensitive and a
     # range sort re-executes the whole verify pipeline for bound sampling
     # (measured 5x the query cost) while adding nothing semantically
@@ -1110,7 +1110,7 @@ def q_dedup_verified_components(spark, sf):
     cands = lsh_candidate_pairs(
         minhash_signatures(sh, "doc_id", n_hashes=16), "doc_id", bands=4
     )
-    verified = jaccard_on_candidates_arrays(sh, cands, "doc_id")
+    verified = jaccard_on_candidates_arrays(sh, cands, "doc_id", docs=docs)
     edges = verified.filter(F.col("jaccard") >= 0.5).select("a", "b")
     return connected_components(edges)
 
@@ -3880,7 +3880,7 @@ def q_dedup_survivors(spark, sf):
     cands = lsh_candidate_pairs(
         minhash_signatures(sh, "doc_id", n_hashes=16), "doc_id", bands=4
     )
-    verified = jaccard_on_candidates_arrays(sh, cands, "doc_id")
+    verified = jaccard_on_candidates_arrays(sh, cands, "doc_id", docs=docs)
     edges = verified.filter(F.col("jaccard") >= 0.5).select("a", "b")
     clusters = connected_components(edges)
     return cluster_representatives(clusters, docs)

@@ -54,22 +54,21 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nb_min"))
         )
-        new_labels = (
+        # carry the old label through the checkpoint so the convergence
+        # count is a scan of the checkpointed rows — the old form
+        # re-joined new vs old labels, one extra shuffle per round
+        stepped = (
             labels.join(nb_min, labels["n"] == nb_min["src"], "left")
             .select(
                 labels["n"],
                 F.least(
                     labels["label"], F.coalesce(F.col("nb_min"), labels["label"])
                 ).alias("label"),
+                labels["label"].alias("_old"),
             )
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("new")
-            .join(labels.alias("old"), "n")
-            .filter(F.col("new.label") != F.col("old.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("label") != F.col("_old")).count()
+        labels = stepped.select("n", "label")
         if changed == 0:
             break
     if changed != 0:

@@ -385,6 +385,9 @@ def jaccard_on_candidates_arrays(
     cands: DataFrame,
     key_col: str = "doc_id",
     min_jaccard: float = 0.0,
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+    k: int = 5,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs via per-doc shingle-hash ARRAYS.
 
@@ -403,6 +406,16 @@ def jaccard_on_candidates_arrays(
     documents the row-streaming ``jaccard_on_candidates`` keeps peak
     memory flat and should be preferred.  Both forms restrict work to
     candidate docs first, so neither enumerates a non-candidate pair.
+
+    ``docs`` (optional): the doc table ``shingles`` was built from.  When
+    given, the candidate shingle stream is REBUILT from the semi-joined
+    docs instead of semi-filtering the full shingle stream: Spark cannot
+    push a join below the explode, so the plain form re-explodes the
+    whole corpus and discards non-candidates after the fan-out, while
+    this form explodes only candidate docs — at 10^12 docs the explode
+    shrinks to the candidate fraction (guide §2.3: restrict before the
+    expansion, not after).  Output identical by construction
+    (``char_shingles`` of a row subset == subset of the shingle stream).
     """
     pair_keys = _persist(cands.select("a", "b"))
     cand_keys = (
@@ -410,10 +423,21 @@ def jaccard_on_candidates_arrays(
         .union(pair_keys.select(F.col("b").alias(key_col)))
         .distinct()
     )
-    sh_cand = shingles.join(cand_keys, key_col, "left_semi")
+    if docs is not None:
+        sh_cand = char_shingles(
+            docs.join(cand_keys, key_col, "left_semi"), text_col, key_col, k=k
+        )
+    else:
+        sh_cand = shingles.join(cand_keys, key_col, "left_semi")
+    # collect the RAW shingles, not md5(shingle): the exact-intersection
+    # count is identical (sets either way) minus the md5 collision risk,
+    # the per-element compare in array_intersect runs on ~5-char strings
+    # instead of 32-char hex, and the corpus-sized md5 pass disappears —
+    # this is also exactly the oracle's formulation (DISTINCT shingle
+    # intersection, no hashing).
     arrs = _persist(
         sh_cand.groupBy(key_col).agg(
-            F.collect_set(F.md5("shingle")).alias("arr"),
+            F.collect_set("shingle").alias("arr"),
             F.count("*").alias("sz"),
         )
     )

@@ -117,7 +117,9 @@ def run_release(
     cands = lsh_candidate_pairs(
         minhash_signatures(sh, key_col, n_hashes=16), key_col, bands=4
     )
-    verified = jaccard_on_candidates_arrays(sh, cands, key_col)
+    verified = jaccard_on_candidates_arrays(
+        sh, cands, key_col, docs=cur.select(key_col, text_col), text_col=text_col
+    )
     edges = verified.filter(F.col("jaccard") >= jaccard_threshold).select("a", "b")
     # connected_components emits its node column as 'doc_id' regardless of
     # the corpus key; realign for string-keyed (url) corpora
