@@ -424,8 +424,16 @@ def jaccard_on_candidates_arrays(
         .distinct()
     )
     if docs is not None:
+        # n_partitions is load-bearing: the semi join's output keeps the
+        # doc scan's partitioning (often ONE file split locally), and the
+        # 300x shingle fan-out must happen after a key exchange, not
+        # inside a single scan task (char_shingles docstring hazard)
         sh_cand = char_shingles(
-            docs.join(cand_keys, key_col, "left_semi"), text_col, key_col, k=k
+            docs.join(cand_keys, key_col, "left_semi"),
+            text_col,
+            key_col,
+            k=k,
+            n_partitions=docs.sparkSession.sparkContext.defaultParallelism,
         )
     else:
         sh_cand = shingles.join(cand_keys, key_col, "left_semi")
