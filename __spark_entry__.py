@@ -124,13 +124,32 @@ def q_a6_group_stats(spark, sf):
     li = load_table(spark, sf, "lineitem").repartition(
         spark.sparkContext.defaultParallelism, "l_orderkey"
     )
+    # median via sorted-array midpoint instead of percentile(): the
+    # percentile ImperativeAggregate builds an OpenHashMap counts buffer
+    # per group — pure overhead at ~4 values/group — while collect_list +
+    # array_sort is a flat buffer and one JVM sort.  Value-identical to
+    # percentile(q=0.5): l_quantity is integral (TPC-H spec 1..50, checked
+    # across all SFs), so midpoint (a+b)/2 and percentile's
+    # a+(b-a)*0.5 are both exact in binary; measured warm 0.75 -> 0.64 s
+    # floor and a much lower first-trial cost at sf0.1.
+    arr = F.array_sort(F.collect_list("l_quantity"))
+    n = F.size(arr)
+    median = F.when(
+        n % 2 == 1, F.element_at(arr, (n / 2 + 1).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2 + 1).cast("int"))
+        )
+        / 2
+    )
     return (
         li.groupBy("l_orderkey")
         .agg(
             _r(F.avg("l_quantity")).alias("avg_qty"),
             F.min("l_quantity").alias("min_qty"),
             F.max("l_quantity").alias("max_qty"),
-            _r(F.expr("percentile(l_quantity, 0.5)")).alias("median_qty"),
+            _r(median).alias("median_qty"),
             F.count("*").alias("n_lines"),
         )
         # no trailing orderBy: the driver compare is order-insensitive, and
@@ -667,9 +686,13 @@ def q_text_token_count(spark, sf):
 def q_text_quality(spark, sf):
     docs = load_table(spark, sf, "documents")
     n_chars = F.length("text")
-    n_punct = F.length(F.regexp_replace(F.col("text"), r"[^.!?,;:]", ""))
-    n_digit = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
-    n_space = F.length(F.regexp_replace(F.col("text"), r"[^ ]", ""))
+    # regexp_count of the single-char class == length of the kept chars
+    # after stripping its complement (what the oracle spells), without
+    # materializing a stripped copy of every document — measured ~2x
+    # faster warm (0.41-0.52 -> 0.21-0.30 s at sf0.1), values identical.
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[.!?,;:]"))
+    n_digit = F.regexp_count(F.col("text"), F.lit(r"[0-9]"))
+    n_space = F.regexp_count(F.col("text"), F.lit(r" "))
     return (
         docs.select(
             "doc_id",
