@@ -132,6 +132,7 @@ def run_release(
     survivors = cur.join(
         audit.filter(F.col("is_survivor") == 1).select(key_col), key_col, "left_semi"
     ).persist()  # consumed by count + optional cutting + scrub/write/packing
+    surv_cached = survivors  # the persisted frame (survivors is rebound below)
     funnel["n_survivors"] = float(survivors.count())
     _stage("near_dup_survivors")
 
@@ -141,12 +142,20 @@ def run_release(
             survivors, text_col, key_col, window=cut_spans_window,
             n_partitions=spark.sparkContext.defaultParallelism,
         )
-        survivors = cut_spans(survivors, spans, text_col, key_col)
+        # persist the CUT result before the funnel count: the scrub/pack
+        # stage's first action would otherwise re-execute the whole span
+        # pipeline (explode + first-occurrence agg + island merge) a
+        # second time — the funnel agg and the persist share one
+        # materialization instead
+        survivors = cut_spans(survivors, spans, text_col, key_col).persist()
         funnel["n_span_cut_chars"] = float(
             survivors.agg(F.sum("n_cut_chars")).first()[0] or 0
         )
+        cut_cached = survivors
         survivors = survivors.drop("n_cut_chars")
         _stage("span_cutting")
+    else:
+        cut_cached = None
 
     # 4. PII scrub at the fixpoint, IPv6 included; persisted because the
     # packing prefix-sum takes two driver actions (approxQuantile + bucket
@@ -160,16 +169,16 @@ def run_release(
     packed = pack_sequences(scrubbed, text_col, key_col, seq_len=seq_len)
     released = scrubbed.join(packed.drop("n_tokens"), key_col)
     released.write.mode("overwrite").parquet(f"{out_root}/released")
-    funnel["n_released"] = float(
-        spark.read.parquet(f"{out_root}/released").count()
-    )
+    # one scan of the WRITTEN parquet yields both funnel rows — the old
+    # form re-ran the packing window for max(end_chunk) (released
+    # already carries the column)
+    rel_row = spark.read.parquet(f"{out_root}/released").agg(
+        F.count("*").alias("n"),
+        (F.max(F.col("end_chunk")) + 1).cast("double").alias("s"),
+    ).first()
+    funnel["n_released"] = float(rel_row["n"])
     _stage("scrub_pack_write")
-    funnel["n_sequences"] = float(
-        packed.agg(
-            (F.max(F.col("end_chunk")) + 1).cast("double").alias("s")
-        ).first()["s"]
-        or 0.0
-    )
+    funnel["n_sequences"] = float(rel_row["s"] or 0.0)
 
     spark.createDataFrame(
         [(k, v) for k, v in sorted(funnel.items())], "stage string, n double"
@@ -177,7 +186,9 @@ def run_release(
     funnel["wall_sec"] = time.time() - t0
     write_metrics(spark, funnel, job_id, f"{out_root}/metrics")
     cur.unpersist()
-    survivors.unpersist()
+    surv_cached.unpersist()
+    if cut_cached is not None:
+        cut_cached.unpersist()
     scrubbed.unpersist()
     release_persisted()
     return {"job_id": job_id, **funnel}
