@@ -29,9 +29,12 @@ def two_bucketed_tables(spark, tmp_path):
 def test_bucketed_join_has_no_exchange(spark, two_bucketed_tables):
     t1, t2 = two_bucketed_tables
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_smj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
     try:
         # force a sort-merge join so the elided exchange is what we prove
+        # (the session default now allows shuffled hash joins)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
         joined = read_bucketed(spark, t1).join(read_bucketed(spark, t2), "url")
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan
@@ -39,6 +42,7 @@ def test_bucketed_join_has_no_exchange(spark, two_bucketed_tables):
         assert joined.count() == 2000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", old_smj)
 
 
 def test_bucketed_aggregation_has_no_exchange(spark, two_bucketed_tables):
