@@ -404,15 +404,26 @@ def compute_features(texts: pd.Series) -> np.ndarray:
         n_sent = n_akshara = n_words = zero
         wlens = np.zeros(n, dtype=np.int64)
 
-    # uniques / stopwords via one factorize over the batch's flat word
-    # stream: ONE `str.split` of the newline-joined batch replaces the
-    # per-doc pandas `.str.split` (tokens cannot fuse across docs — the
-    # separator is itself whitespace), `wlens` above assigns each token
-    # to its doc, and the per-unique-word work (set membership,
-    # `.lower()`) runs once per VOCABULARY entry (Zipf-small).
-    flat = "\n".join(view.texts).split()
-    if flat:
-        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    # uniques / stopwords via one Arrow dictionary-encode over the
+    # batch's flat word stream: utf8_split_whitespace + list_flatten +
+    # filter(nonempty) build the token stream without a Python str per
+    # token, dictionary_encode hashes the utf8 buffers in C (measured 2x
+    # pd.factorize on the bench corpus), `wlens` above assigns each
+    # token to its doc, and the per-unique-word work (set membership,
+    # `.lower()`) runs once per VOCABULARY entry (Zipf-small).  Guard:
+    # if Arrow's whitespace set ever disagreed with `\s` (wlens) the
+    # bincount length check below raises — it cannot silently misalign.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    words = pc.list_flatten(
+        pc.utf8_split_whitespace(pa.array(view.texts, type=pa.string()))
+    )
+    words = words.filter(pc.greater(pc.binary_length(words), 0))
+    if len(words):
+        d = pc.dictionary_encode(words)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniques = d.dictionary.to_pylist()
         doc_of_word = np.repeat(np.arange(n, dtype=np.int64), wlens)
         is_stop_u = np.array(
             [u.lower() in _STOPWORDS for u in uniques], dtype=np.float64
@@ -420,7 +431,7 @@ def compute_features(texts: pd.Series) -> np.ndarray:
         n_stop = np.bincount(
             doc_of_word, weights=is_stop_u[codes], minlength=n
         )
-        pair = (doc_of_word << 32) | codes.astype(np.int64)
+        pair = (doc_of_word << 32) | codes
         n_unique = np.bincount(
             np.unique(pair) >> 32, minlength=n
         ).astype(np.float64)
