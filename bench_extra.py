@@ -168,11 +168,86 @@ def queries(names: list[str], trials: int = 4) -> None:
     print(json.dumps(out))
 
 
+def release_scale(factors: tuple[int, ...] = (1, 10)) -> None:
+    """Round-5 verdict item 6: run the release plan on a ~10x corpus and
+    prove no stage grows superlinearly.
+
+    The scaled corpus is built deterministically from the sf documents as
+    sentence REMIXES — doc d's j-th sentence index is an md5-derived hash
+    of (d, j) mod the corpus-wide sentence-pool size — so scaled docs are
+    genuinely independent (expected pairwise sentence overlap 12²/pool ≈
+    0.004, Jaccard far under the 0.5 near-dup threshold).  Clone
+    replication or linear-stride picks both fail here: they manufacture
+    giant true near-dup clusters and the verify stage's pair count
+    becomes the workload's, not the engine's."""
+    import shutil
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from gujarati_readability_pagewise_spark.plans.release import run_release
+    from gujarati_readability_pagewise_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-extra-release", master=f"local[{CPUS}]")
+    base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    sents = (
+        base.select(F.posexplode(F.split("text", r"\. ")).alias("i", "sent"))
+        .filter(F.length("sent") > 0)
+        .select("sent")
+        .withColumn(
+            "sid",
+            F.row_number().over(W.orderBy(F.monotonically_increasing_id())) - 1,
+        )  # single-partition window is fine: side benchmark, ~40k rows
+    ).localCheckpoint()
+    n_sents = sents.count()
+    n_base = base.count()
+    out = {}
+    for f in factors:
+        n_docs = n_base * f
+        docs = spark.range(n_docs).select(F.col("id").alias("doc_id")).join(
+            spark.range(12).select(F.col("id").alias("j")), how="cross"
+        ).select(
+            "doc_id",
+            "j",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws("#", F.col("doc_id"), F.col("j"))
+                        ), 1, 15
+                    ), 16, 10
+                ).cast("long"),
+                F.lit(n_sents),
+            ).alias("sid"),
+        ).join(sents, "sid").groupBy("doc_id").agg(
+            F.concat_ws(". ", F.array_sort(
+                F.collect_list(F.struct("j", "sent"))
+            ).getField("sent")).alias("text")
+        ).localCheckpoint()
+        root = f"/tmp/bench_extra_release_{os.getpid()}_{f}"
+        shutil.rmtree(root, ignore_errors=True)
+        t0 = time.time()
+        rel = run_release(
+            spark, docs, root, cut_spans_window=40, job_id=f"scale-{f}x"
+        )
+        out[f"{f}x"] = {
+            "wall_sec": round(time.time() - t0, 2),
+            "stages_sec": {k: round(v, 2) for k, v in rel.items() if k.startswith("t_")},
+            "funnel": {k: int(v) for k, v in rel.items() if k.startswith("n_")},
+        }
+        shutil.rmtree(root, ignore_errors=True)
+        spark.catalog.clearCache()
+        print(f, out[f"{f}x"], flush=True)
+    spark.stop()
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if "--ceilings" in sys.argv:
         ceilings()
     elif "--queries" in sys.argv:
         i = sys.argv.index("--queries")
         queries(sys.argv[i + 1:] or ["dedup_verified_pairs"])
+    elif "--release-scale" in sys.argv:
+        release_scale()
     else:
         print(__doc__)
