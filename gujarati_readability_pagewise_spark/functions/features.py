@@ -212,7 +212,13 @@ def _class_counts(
 
 
 def _prev(mask: np.ndarray, starts: np.ndarray) -> np.ndarray:
-    """mask shifted one position right, False at each doc's first char."""
+    """mask shifted one position right, False (0) at each doc's first char.
+
+    Works on bool masks and on packed uint8 bitmasks alike — shifting the
+    PACKED mask once and extracting bits from the shifted copy is the same
+    as shifting each extracted bit separately (shift and bit-extract
+    commute), which is how ``compute_features`` shares two shifted copies
+    across all five scan classes instead of shifting five times."""
     out = np.empty_like(mask)
     out[0] = False
     out[1:] = mask[:-1]
@@ -332,15 +338,21 @@ def _astral_fix(combo: np.ndarray, view: _CpView, patterns: dict) -> None:
         combo[i] = m
 
 
-def compute_features(texts: pd.Series) -> np.ndarray:
+def compute_features(texts: "pd.Series | list[str]") -> np.ndarray:
     """Vectorized kernel: Series[str] -> float64 array (len(texts), N_FEATURES).
 
     One utf-32 decode (`_CpView`) + two packed class-table gathers feed
     the class histogram, the sentence-run count, the akshara cluster
     count, and the word-boundary scan — no per-row Spark UDF (input_hint
     mandate), no per-doc pandas ``.str`` loops.
+
+    A plain ``list[str]`` input (the Arrow kernel's path — it already
+    holds the texts as a Python list) skips the Series construction +
+    fillna/astype/tolist round-trip (~0.5 ms/2048-doc batch); list
+    callers guarantee str-only elements (``extract_text`` never returns
+    None).  The Series path remains the oracle surface for tests.
     """
-    t = texts.fillna("").astype(str)
+    t = texts if isinstance(texts, list) else texts.fillna("").astype(str)
     n = len(t)
     out = np.zeros((n, N_FEATURES), dtype=np.float64)
 
@@ -369,34 +381,40 @@ def compute_features(texts: pd.Series) -> np.ndarray:
         n_letter = counts[:, 3]
         n_guj_letter = counts[:, 4]
         n_space = counts[:, 5]
-        # scan classes: one packed uint8 gather; 0/1 uint8 logic per bit
-        # (astral chars keep the chr(0) lookup = no scan class, exactly
-        # the semantics `_sentence_counts`/`_akshara_counts` pin)
+        # scan classes: one packed uint8 gather; the shifted-neighbor
+        # logic runs on TWO shared shifted copies of the packed mask
+        # (p1 = previous char's mask, p2 = the one before) instead of
+        # shifting each extracted bit separately — shift and bit-extract
+        # commute (see `_prev`), so every per-class identity below is the
+        # old five-shift form verbatim, just read through p1/p2.  Bits:
+        # sent=1, c=2, nukta=4, virama=8, indep=16, space=32.  (astral
+        # chars keep the chr(0) lookup = no scan class, exactly the
+        # semantics `_sentence_counts`/`_akshara_counts` pin)
         m2 = _mask_table(_SCAN_PATTERNS)[view.cp_lo]  # uint8
+        p1 = _prev(m2, starts)
+        p2 = _prev(p1, starts)
         # sentence runs: starts of maximal [.!?…।॥]+ runs
-        m_sent = m2 & 1
-        starts_run = m_sent & (1 - _prev(m_sent, starts))
+        # (in sent class now, predecessor not: bit 0 of m2 & ~p1)
+        starts_run = (m2 & ~p1) & 1
         n_sent = np.bincount(
             doc_id[starts_run.view(np.bool_)], minlength=n
         ).astype(np.float64)
-        # akshara cluster starts (same grammar as `_akshara_counts`)
-        is_c = (m2 & 2) >> 1
-        is_nukta = (m2 & 4) >> 2
-        is_virama = (m2 & 8) >> 3
-        is_indep = (m2 & 16) >> 4
-        prev_c = _prev(is_c, starts)
-        prev_nukta = _prev(is_nukta, starts)
-        prev2_c = _prev(prev_c, starts)
-        attached_virama = is_virama & (prev_c | (prev_nukta & prev2_c))
-        new_c = is_c & (1 - _prev(attached_virama, starts))
+        # akshara cluster starts (same grammar as `_akshara_counts`):
+        # attached_virama = virama & (prev_c | (prev_nukta & prev2_c)),
+        # computed in bit 3: (p1 << 2) moves prev-c (bit 1) to bit 3;
+        # (p2 << 1) & 4 moves prev2-c to bit 2, & p1 ANDs it with
+        # prev-nukta (bit 2), << 1 lifts the result to bit 3.
+        attached_virama = m2 & 8 & ((p1 << 2) | ((p1 & ((p2 << 1) & 4)) << 1))
+        # new_c = c & ~prev(attached): prev-attached (bit 3) >> 2 → bit 1
+        new_c = m2 & 2 & ~(_prev(attached_virama, starts) >> 2)
         n_akshara = np.bincount(
-            doc_id[(new_c | is_indep).view(np.bool_)], minlength=n
+            doc_id[(new_c | (m2 & 16)) != 0], minlength=n
         ).astype(np.float64)
         # word starts: non-whitespace char whose in-doc predecessor is
         # whitespace (or doc start) — exactly `str.split()`'s token count
-        is_space = (m2 & 32) >> 5
-        word_start = (1 - is_space) & (_prev(is_space, starts) | starts)
-        wlens = np.bincount(doc_id[word_start.view(np.bool_)], minlength=n)
+        # (bit 5 of ~m2 & (p1 | doc-start))
+        word_start = ~m2 & (p1 | (starts.view(np.uint8) << np.uint8(5))) & 32
+        wlens = np.bincount(doc_id[word_start != 0], minlength=n)
         n_words = wlens.astype(np.float64)
     else:
         zero = np.zeros(n, dtype=np.float64)
@@ -422,19 +440,34 @@ def compute_features(texts: pd.Series) -> np.ndarray:
     words = words.filter(pc.greater(pc.binary_length(words), 0))
     if len(words):
         d = pc.dictionary_encode(words)
-        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = d.indices.to_numpy(zero_copy_only=False)
         uniques = d.dictionary.to_pylist()
+        vocab = len(uniques)
         doc_of_word = np.repeat(np.arange(n, dtype=np.int64), wlens)
-        is_stop_u = np.array(
-            [u.lower() in _STOPWORDS for u in uniques], dtype=np.float64
-        )
+        # stopword count = size of the selected-subset bincount (integer
+        # counts either way; the old float-weighted bincount paid a
+        # words-sized float64 gather + weighted accumulation)
+        is_stop_u = np.array([u.lower() in _STOPWORDS for u in uniques], dtype=bool)
         n_stop = np.bincount(
-            doc_of_word, weights=is_stop_u[codes], minlength=n
-        )
-        pair = (doc_of_word << 32) | codes
-        n_unique = np.bincount(
-            np.unique(pair) >> 32, minlength=n
+            doc_of_word[is_stop_u[codes]], minlength=n
         ).astype(np.float64)
+        # distinct words per doc: two exact plans, chosen by size (the
+        # same shape-conditioned choice as a broadcast threshold).  When
+        # the (doc × vocab) occupancy grid is no bigger than ~2 passes
+        # over the word stream, one bincount + count_nonzero beats the
+        # O(W log W) sort inside np.unique (~5x on small-vocab batches);
+        # a Zipf-large vocabulary (real prose) falls through to the sort,
+        # whose cost does not blow up with n*vocab.
+        if n * vocab <= 2 * len(codes):
+            occ = np.bincount(doc_of_word * vocab + codes, minlength=n * vocab)
+            n_unique = np.count_nonzero(
+                occ.reshape(n, vocab), axis=1
+            ).astype(np.float64)
+        else:
+            pair = (doc_of_word << 32) | codes.astype(np.int64)
+            n_unique = np.bincount(
+                np.unique(pair) >> 32, minlength=n
+            ).astype(np.float64)
     else:
         n_stop = np.zeros(n, dtype=np.float64)
         n_unique = np.zeros(n, dtype=np.float64)

@@ -118,7 +118,7 @@ def _arrow_kernel(rb, include_spans: bool, rf):
     html = rb.column(idx("html"))
     results = [extract_text(h) for h in html.to_pylist()]
     texts = [r.text for r in results]
-    feats = compute_features(pd.Series(texts, dtype="object"))
+    feats = compute_features(texts)  # list fast path: no Series round-trip
     arrays = [
         rb.column(idx("url")),
         rb.column(idx("warc_ts")),
