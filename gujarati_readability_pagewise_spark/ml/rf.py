@@ -194,11 +194,55 @@ class RandomForest:
         return self
 
     def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        """All trees descend TOGETHER over one flat node arena.
+
+        The per-tree ``predict_p0`` loop pays mask bookkeeping
+        (``active.any()``/``nonzero``) per tree per level; concatenating
+        the trees' node arrays (leaves rewritten to self-loops) lets one
+        (n_trees × n_rows) index matrix advance every tree's every row
+        per pass, bounded by the FOREST'S true depth.  Bit-identical to
+        the per-tree walk: same ``<=`` descent (NaN falls right), and p0
+        accumulates tree-by-tree in the same float64 addition order.
+        Arena build is a few concatenates over ~100 tiny node arrays
+        (~50 µs) — rebuilt per call, so there is no cached state to
+        invalidate when trees change.
+        """
         X = np.asarray(X, dtype=np.float64)
-        p0 = np.zeros(len(X), dtype=np.float64)
-        for tree in self.trees:
-            p0 += tree.predict_p0(X)
-        p0 /= max(len(self.trees), 1)
+        if not self.trees:
+            p0 = np.zeros(len(X), dtype=np.float64)
+            return np.stack([p0, 1.0 - p0], axis=1)
+        T = len(self.trees)
+        offs = np.cumsum([0] + [len(t.feature) for t in self.trees])
+        feat = np.concatenate([t.feature for t in self.trees])
+        thr = np.concatenate([t.threshold for t in self.trees])
+        left = np.concatenate([t.left + o for t, o in zip(self.trees, offs)])
+        right = np.concatenate([t.right + o for t, o in zip(self.trees, offs)])
+        p0_node = np.concatenate([t.proba0 for t in self.trees])
+        leaf = feat == _LEAF
+        idx = np.arange(len(feat), dtype=np.int32)
+        left = np.where(leaf, idx, left).astype(np.int32)
+        right = np.where(leaf, idx, right).astype(np.int32)
+        featg = np.where(leaf, 0, feat).astype(np.int32)  # safe gather col
+        roots = offs[:-1].astype(np.int32)
+        # forest's true depth (max_depth is only an upper bound; trained
+        # trees are often far shallower)
+        depth = 0
+        frontier = roots[feat[roots] != _LEAF]
+        while len(frontier):
+            depth += 1
+            nxt = np.concatenate([left[frontier], right[frontier]])
+            frontier = nxt[feat[nxt] != _LEAF]
+        n = len(X)
+        node = np.repeat(roots, n).reshape(T, n)
+        rows = np.broadcast_to(np.arange(n, dtype=np.int64), (T, n))
+        for _ in range(depth):
+            f = featg[node]
+            go_left = X[rows, f] <= thr[node]
+            node = np.where(go_left, left[node], right[node])
+        p0 = np.zeros(n, dtype=np.float64)
+        for t in range(T):
+            p0 += p0_node[node[t]]
+        p0 /= T
         return np.stack([p0, 1.0 - p0], axis=1)
 
     def predict(self, X: np.ndarray) -> np.ndarray:

@@ -93,3 +93,23 @@ def test_forest_to_sql_bit_identical_to_numpy():
         " AS l FROM t"
     ).fetchdf().l.values
     assert (lbl == m.predict(X)).all()
+
+
+def test_arena_descent_matches_per_tree_walk():
+    """predict_proba's fused all-trees arena descent must be bit-identical
+    to the per-tree ``predict_p0`` accumulation it replaced — same ``<=``
+    descent (NaN features fall right), same float64 addition order."""
+    rng = np.random.RandomState(11)
+    X = rng.normal(size=(500, 12))
+    X[rng.random_sample(X.shape) < 0.05] = np.nan
+    y = (rng.random_sample(500) < 0.4).astype(int)
+    m = RandomForest(n_estimators=13, max_depth=8, seed=5).fit(X, y)
+    p0_ref = np.zeros(len(X), dtype=np.float64)
+    for tree in m.trees:
+        p0_ref += tree.predict_p0(X)
+    p0_ref /= len(m.trees)
+    got = m.predict_proba(X)
+    assert (got[:, 0] == p0_ref).all()
+    assert (got[:, 1] == 1.0 - p0_ref).all()
+    # empty batch keeps its shape
+    assert m.predict_proba(np.zeros((0, 12))).shape == (0, 2)
