@@ -239,6 +239,31 @@ def _classify(blocks: list[_Block]) -> list[bool]:
     return rescued
 
 
+def _kept_spans(blocks: list[_Block]) -> list[str]:
+    """Fused form of ``_classify`` + span selection: one pass emits the
+    kept block texts directly instead of materializing two label lists
+    and zipping.  The rescue test reads the FIRST-PASS ``keep`` labels of
+    both neighbors, exactly like ``_classify``'s smoothing pass (which is
+    the semantic oracle and stays for documentation/tests); ~2x the
+    classify+select cost on the bench corpus."""
+    n = len(blocks)
+    keep = [
+        b[1] >= MIN_CONTENT_WORDS and b[2] <= MAX_LINK_DENSITY for b in blocks
+    ]
+    out = []
+    append = out.append
+    for i, b in enumerate(blocks):
+        if keep[i]:
+            append(b[0])
+        elif (
+            b[1] >= MIN_RESCUE_WORDS
+            and b[2] <= MAX_LINK_DENSITY
+            and ((i > 0 and keep[i - 1]) or (i + 1 < n and keep[i + 1]))
+        ):
+            append(b[0])
+    return out
+
+
 class ExtractResult(NamedTuple):
     text: str
     spans: list[str]      # kept blocks, in document order
@@ -273,8 +298,7 @@ def extract_text(html: bytes | None) -> ExtractResult:
     # (E2 84 AA) are excluded explicitly — every other canonical
     # composition maps outside ASCII.
     blocks = _segment(s, html.islower() and b"\xe2\x84\xaa" not in html)
-    keep = _classify(blocks)
-    spans = [b[0] for b, k in zip(blocks, keep) if k]
+    spans = _kept_spans(blocks)
     if not spans:
         return ExtractResult("", [], STATUS_EMPTY if status == STATUS_OK else status)
     return ExtractResult("\n\n".join(spans), spans, status)
